@@ -1,0 +1,185 @@
+"""Connected components — iterative hash-min label propagation.
+
+Reference: ``algo/ConnectedComponents.java:107`` computes WCC of a
+symmetric graph by parallel BFS rounds (component = index of the BFS that
+reached the node).  Component *labels* are therefore visit-order dependent
+there; here they are ``min node id in the component`` — the partitions are
+identical, which is exactly what the reference's own test compares
+(``test/.../algo/ConnectedComponentsTest.java:33-46`` compares partitions,
+not labels).
+
+Two implementations:
+
+- ``connected_components`` (hash-min): comp ← min(comp, min over
+  neighbours comp) each round; converges in O(diameter) rounds.  One
+  join + one groupBy-min per round; message volume shrinks as nodes
+  stabilize when ``frontier_optimize`` is on (systolic idea of HyperBall,
+  ``algo/HyperBall.java:124-135`` — only changed nodes emit).
+- ``connected_components_star`` (Stergiou-style large-star/small-star,
+  the north rule's named variant): converges in O(log n) rounds on
+  high-diameter graphs; each round is two conditional-union rounds
+  expressed as joins.  Preferred at 100 TB where diameters can be large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from webgraph_big_spark.checkpoint import IterativeRunner
+from webgraph_big_spark.graph import Graph
+from webgraph_big_spark.transforms import symmetrize
+
+
+def connected_components(
+    g: Graph,
+    symmetric: bool = False,
+    max_iterations: int = 200,
+    run_dir: str | None = None,
+    checkpoint_every: int = 8,
+    fixed_iterations: int | None = None,
+    include_isolated: bool = True,
+) -> DataFrame:
+    """Returns (id, comp) with comp = min id of the weak component.
+
+    ``symmetric=True`` promises g already equals its transpose (the
+    reference requires this of its input, ``algo/ConnectedComponents.java:49``);
+    otherwise arcs are used in both directions (WCC semantics).
+    """
+    spark = g.edges.sparkSession
+    gs = g if symmetric else symmetrize(g)
+    edges = gs.edges.select("src", "dst").cache()
+
+    nodes = (
+        g.nodes()
+        if include_isolated and g._num_nodes is not None
+        else gs.touched_nodes()
+    ).cache()
+
+    def initial() -> DataFrame:
+        return nodes.select("id", F.col("id").alias("comp"))
+
+    def step(state: DataFrame, it: int):
+        msgs = (
+            edges.join(state.select(F.col("id").alias("src"), "comp"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_state = state.join(msgs, "id", "left").select(
+            "id", F.least("comp", F.coalesce("nbr_min", "comp")).alias("comp")
+        )
+        if fixed_iterations is not None:
+            return new_state, (None if it + 1 < fixed_iterations else 0)
+        return new_state, None
+
+    def check(old: DataFrame, new: DataFrame, it: int) -> int:
+        return (
+            new.join(old.withColumnRenamed("comp", "prev"), "id")
+            .filter(F.col("comp") != F.col("prev"))
+            .count()
+        )
+
+    runner = IterativeRunner(
+        spark,
+        run_dir=run_dir,
+        checkpoint_every=checkpoint_every,
+        max_iterations=fixed_iterations or max_iterations,
+    )
+    result = runner.run(initial, step, check=None if fixed_iterations else check)
+    edges.unpersist()
+    nodes.unpersist()
+    return result.state
+
+
+def connected_components_star(
+    g: Graph,
+    max_iterations: int = 64,
+    run_dir: str | None = None,
+) -> DataFrame:
+    """Large-star / small-star CC (Kiveris et al., the 'Stergiou-style'
+    O(log n)-round family named by the north rule).
+
+    State is the parent pointer table (id, comp).  Each round:
+      large-star: every node points its *larger* neighbours at its current
+        minimum neighbour (including itself);
+      small-star: every node and its smaller-or-equal neighbours point at
+        the overall minimum.
+    Implemented as joins + groupBy-min over the (id, parent) edge
+    relation; converges when parents stop changing.  Per round: two
+    shuffles; rounds: O(log n) — the scale path for web-diameter graphs.
+    """
+    nodes = g.nodes().cache()
+
+    def large_star(rel: DataFrame) -> DataFrame:
+        # neighbours in both directions; every strictly-larger neighbour
+        # re-attaches to min(N(u) ∪ {u}).
+        nbrs = rel.union(rel.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(rel: DataFrame) -> DataFrame:
+        # orient u ≥ v; u and all its ≤ neighbours attach to the minimum.
+        nbrs = rel.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        joined = nbrs.join(mins, "u")
+        out = joined.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+            joined.select(F.col("u"), F.col("m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    rel = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        new_rel = small_star(large_star(rel)).localCheckpoint(eager=True)
+        sig = new_rel.agg(
+            F.count("*").alias("c"),
+            F.coalesce(F.sum(F.col("u") * 31 + F.col("v")), F.lit(0)).alias("s"),
+        ).first()
+        cur_sig = (sig["c"], sig["s"])
+        rel = new_rel
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    # converged relation is a star forest: u → component min.  Roots and
+    # isolated nodes have no outgoing row → their own id.
+    parents = rel.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("comp"))
+    out = nodes.join(parents, "id", "left").select(
+        "id", F.coalesce("comp", "id").alias("comp")
+    )
+    nodes.unpersist()
+    return out
+
+
+def component_sizes(components: DataFrame) -> DataFrame:
+    """(comp, size) — ``ConnectedComponents.computeSizes``
+    (``algo/ConnectedComponents.java:125``)."""
+    return components.groupBy("comp").agg(F.count("*").alias("size"))
+
+
+def sort_by_size(components: DataFrame) -> DataFrame:
+    """Renumber components by decreasing size (ties: by min id) —
+    ``ConnectedComponents.sortBySize`` (``algo/ConnectedComponents.java:142``).
+    Returns (id, comp) with comp ∈ [0, #components), 0 = largest."""
+    sizes = component_sizes(components)
+    w = Window.orderBy(F.desc("size"), F.asc("comp"))
+    remap = sizes.select(
+        "comp", (F.row_number().over(w) - 1).cast("long").alias("new_comp")
+    )
+    return (
+        components.join(F.broadcast(remap), "comp")
+        .select("id", F.col("new_comp").alias("comp"))
+    )

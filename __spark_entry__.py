@@ -482,3 +482,257 @@ def oracle_sql() -> dict[str, str]:
         "((typ * 281474976710656 + id) % 281474976710656)::BIGINT AS id_check FROM u"
     )
     return o
+
+
+# ===========================================================================
+# Training-data pipeline gates (documents / embeddings tables)
+# ===========================================================================
+
+from webgraph_big_spark.datapipe import dedup as dd  # noqa: E402
+from webgraph_big_spark.datapipe import text as dt  # noqa: E402
+from webgraph_big_spark.datapipe import similarity as ds  # noqa: E402
+from webgraph_big_spark.datapipe import multimodal as dm  # noqa: E402
+
+# shared SQL fragments mirroring the Spark-side constants
+_TOKS = "string_split(lower(text), ' ')"
+_H = lambda x: f"('0x' || substr(md5({x}), 1, 12))::BIGINT"  # noqa: E731
+TOPK_K = 5
+TOPK_RND = 6
+NEAR_DUP_T = 0.05
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return _read(spark, sf, "documents")
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return _read(spark, sf, "embeddings")
+
+
+def _datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    q["dedup_exact"] = lambda spark, sf: dd.exact_duplicates(_docs(spark, sf))
+
+    q["minhash_signatures"] = lambda spark, sf: dd.minhash_signatures(_docs(spark, sf))
+
+    q["lsh_candidates"] = lambda spark, sf: dd.lsh_candidate_pairs(_docs(spark, sf))
+
+    q["near_dup_pairs"] = lambda spark, sf: dd.jaccard_pairs(
+        _docs(spark, sf),
+        candidates=dd.lsh_candidate_pairs(_docs(spark, sf)),
+        threshold=NEAR_DUP_T,
+    )
+
+    q["simhash_docs"] = lambda spark, sf: dd.simhash(_docs(spark, sf))
+
+    q["token_stats"] = lambda spark, sf: dt.token_stats(_docs(spark, sf))
+
+    q["lang_id"] = lambda spark, sf: dt.lang_id(_docs(spark, sf))
+
+    q["quality_score"] = lambda spark, sf: dt.quality_score(_docs(spark, sf))
+
+    q["fingerprint_docs"] = lambda spark, sf: dt.fingerprint(_docs(spark, sf))
+
+    q["embedding_topk"] = lambda spark, sf: ds.brute_force_topk(
+        _emb(spark, sf).filter(F.col("vec_id") < 8), _emb(spark, sf), k=TOPK_K, rnd=TOPK_RND
+    )
+
+    q["embedding_ivf_topk"] = lambda spark, sf: ds.ivf_topk(
+        _emb(spark, sf).filter(F.col("vec_id") < 8),
+        _emb(spark, sf),
+        k=TOPK_K,
+        nprobe=2,
+        rnd=TOPK_RND,
+    )
+
+    q["media_meta"] = lambda spark, sf: dm.text_as_media(_docs(spark, sf)).select(
+        "media_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+    return q
+
+
+def _shingle_ctes() -> str:
+    k = dd.SHINGLE_K
+    return (
+        f"_t AS MATERIALIZED (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+        "_g AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform("
+        f"generate_series(1, greatest(len(toks) - {k - 1}, 0)), "
+        f"i -> array_to_string(toks[i:i+{k - 1}], ' ')))) AS gram FROM _t), "
+        f"sh AS MATERIALIZED (SELECT DISTINCT doc_id, {_H('gram')} AS sh FROM _g)"
+    )
+
+
+def _sig_cte() -> str:
+    mins = ", ".join(
+        f"min((sh * {dd.MH_A[j]} + {dd.MH_B[j]}) % {dd.MH_P}) AS mh{j}"
+        for j in range(dd.NUM_HASHES)
+    )
+    return (
+        _shingle_ctes()
+        + f", sig AS MATERIALIZED (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+    )
+
+
+def _lsh_pairs_sql_body() -> str:
+    n_bands = dd.NUM_HASHES // dd.LSH_BAND_ROWS
+    unions = []
+    for b in range(n_bands):
+        cols = [f"mh{b * dd.LSH_BAND_ROWS + r}" for r in range(dd.LSH_BAND_ROWS)]
+        on = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+        unions.append(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b "
+            f"ON {on} AND a.doc_id < b.doc_id"
+        )
+    return " UNION ALL ".join(unions)
+
+
+def _datapipe_oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["dedup_exact"] = (
+        "SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_copies, "
+        "min(doc_id) AS keeper FROM documents GROUP BY 1"
+    )
+
+    o["minhash_signatures"] = (
+        "WITH " + _sig_cte() + " SELECT * FROM sig"
+    )
+
+    o["lsh_candidates"] = (
+        "WITH " + _sig_cte()
+        + f", cand AS (SELECT DISTINCT doc_a, doc_b FROM ({_lsh_pairs_sql_body()})) "
+        "SELECT doc_a, doc_b FROM cand"
+    )
+
+    o["near_dup_pairs"] = (
+        "WITH " + _sig_cte()
+        + f", cand AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM ({_lsh_pairs_sql_body()})), "
+        "sz AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id), "
+        "inter AS MATERIALIZED (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i FROM cand c "
+        "JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh "
+        "GROUP BY c.doc_a, c.doc_b) "
+        "SELECT c.doc_a, c.doc_b, "
+        "round(COALESCE(i.i, 0) / (sa.sz + sb.sz - COALESCE(i.i, 0)), 9) AS jaccard "
+        "FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b "
+        "JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b "
+        f"WHERE round(COALESCE(i.i, 0) / (sa.sz + sb.sz - COALESCE(i.i, 0)), 9) >= {NEAR_DUP_T}"
+    )
+
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(dd.SIMHASH_BITS)
+    )
+    o["simhash_docs"] = (
+        f"WITH tk AS MATERIALIZED (SELECT doc_id, {_H('tok')} AS h FROM "
+        f"(SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)), "
+        f"s AS (SELECT doc_id, {sums} FROM tk GROUP BY doc_id) "
+        f"SELECT doc_id, ({bits})::BIGINT AS simhash FROM s"
+    )
+
+    o["token_stats"] = (
+        f"SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens, "
+        f"len(list_distinct({_TOKS}))::BIGINT AS n_uniq_tokens, "
+        "length(text)::BIGINT AS n_chars FROM documents"
+    )
+
+    langs = sorted(dt.STOPWORDS)
+    score_cols = ", ".join(
+        "len(list_filter({toks}, x -> x IN ({words})))::BIGINT AS s_{lg}".format(
+            toks=_TOKS,
+            words=", ".join(f"'{w}'" for w in dt.STOPWORDS[lg]),
+            lg=lg,
+        )
+        for lg in langs
+    )
+    cases = []
+    for i, lg in enumerate(langs[:-1]):
+        rest = [f"s_{x}" for x in langs[i + 1 :]]
+        gt = f"greatest({', '.join(rest)})" if len(rest) > 1 else rest[0]
+        cases.append(f"WHEN s_{lg} >= {gt} THEN '{lg}'")
+    case_expr = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    o["lang_id"] = (
+        f"WITH s AS (SELECT doc_id, {score_cols} FROM documents) "
+        f"SELECT doc_id, {case_expr} AS lang_pred, "
+        f"greatest({', '.join('s_' + lg for lg in langs)}) AS best_score FROM s"
+    )
+
+    en_words = ", ".join(f"'{w}'" for w in dt.STOPWORDS["en"])
+    o["quality_score"] = (
+        f"WITH f AS (SELECT doc_id, len({_TOKS})::DOUBLE AS n, "
+        f"len(list_filter({_TOKS}, x -> x IN ({en_words})))::DOUBLE AS stop, "
+        f"len(list_distinct({_TOKS}))::DOUBLE AS uniq FROM documents) "
+        "SELECT doc_id, round(0.3 * least(n / 100.0, 1.0) + 0.4 * (stop / n) "
+        "+ 0.3 * (uniq / n), 9) AS quality FROM f"
+    )
+
+    o["fingerprint_docs"] = (
+        "SELECT doc_id, list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform({_TOKS}, t -> {_H('t')})), "
+        f"(acc, x) -> (acc * {dt.FP_BASE} + x) % {dt.FP_MOD}) AS fp FROM documents"
+    )
+
+    _cos = (
+        "round(list_dot_product(qv, cv) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), "
+        f"{TOPK_RND})"
+    )
+    o["embedding_topk"] = (
+        "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8), "
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings), "
+        f"sims AS (SELECT query_id, neighbor_id, {_cos} AS cos_sim "
+        "FROM q CROSS JOIN c WHERE query_id <> neighbor_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM sims) "
+        f"SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank FROM r WHERE rank <= {TOPK_K}"
+    )
+
+    o["embedding_ivf_topk"] = (
+        "WITH dims AS (SELECT unnest(generate_series(1, 64)) AS d), "
+        "cents AS MATERIALIZED (SELECT label, d, avg(embedding[d]::DOUBLE) AS cv "
+        "FROM embeddings CROSS JOIN dims GROUP BY label, d), "
+        "centlist AS MATERIALIZED (SELECT label AS cell, list(cv ORDER BY d) AS centroid FROM cents GROUP BY label), "
+        "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8), "
+        "cellscore AS (SELECT query_id, qv, cell, "
+        "list_dot_product(qv, centroid) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(centroid, centroid))) AS cs "
+        "FROM q CROSS JOIN centlist), "
+        "probed AS (SELECT query_id, qv, cell FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY cs DESC, cell ASC) AS r FROM cellscore) WHERE r <= 2), "
+        "c AS (SELECT vec_id AS neighbor_id, label AS cell, embedding::DOUBLE[] AS cv FROM embeddings), "
+        f"sims AS (SELECT query_id, neighbor_id, {_cos} AS cos_sim "
+        "FROM probed JOIN c USING (cell) WHERE query_id <> neighbor_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM sims) "
+        f"SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank FROM r WHERE rank <= {TOPK_K}"
+    )
+
+    o["media_meta"] = (
+        "SELECT doc_id AS media_id, 'text/plain' AS format, "
+        "octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS checksum FROM documents"
+    )
+    return o
+
+
+_BASE_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES()
+    q.update(_datapipe_queries())
+    return q
+
+
+_BASE_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = _BASE_ORACLES()
+    o.update(_datapipe_oracle_sql())
+    return o

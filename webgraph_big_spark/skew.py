@@ -31,7 +31,10 @@ def hub_nodes(g: Graph, threshold: int | None = None, direction: str = "in") -> 
     deg = g.in_degrees() if direction == "in" else g.out_degrees()
     col = "indeg" if direction == "in" else "outdeg"
     if threshold is None:
-        mean = deg.agg(F.avg(col)).first()[0] or 0.0
+        # mean degree m/n over ALL nodes (a degree table without zero-degree
+        # nodes would inflate the mean on exactly the graphs that need this)
+        n = max(g.num_nodes(), 1)
+        mean = g.num_arcs() / n
         threshold = int(max(16.0 * mean, 64))
     return deg.filter(F.col(col) > threshold).select("id", F.col(col).alias("deg"))
 
@@ -92,7 +95,10 @@ def repartition_by_cumulative_degree(g: Graph, num_partitions: int) -> DataFrame
     )
     return (
         g.edges.join(F.broadcast(buckets), "src")
-        .repartitionByRange(num_partitions, "_bucket", "src")
+        # dst in the range key lets the partitioner split INSIDE a single
+        # mega-hub's arc range (a hub bigger than one fair share would
+        # otherwise land whole in one partition)
+        .repartitionByRange(num_partitions, "_bucket", "src", "dst")
         .drop("_bucket")
     )
 

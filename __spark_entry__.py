@@ -736,3 +736,110 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     o = _BASE_ORACLES()
     o.update(_datapipe_oracle_sql())
     return o
+
+
+# ===========================================================================
+# SCC + geometric centrality gates
+# ===========================================================================
+
+from webgraph_big_spark.algorithms.scc import strongly_connected_components  # noqa: E402
+from webgraph_big_spark.algorithms.centrality import harmonic_centrality  # noqa: E402
+
+SCC_T = 32
+HC_T = 16
+
+# G3: the band graph plus every 7th edge reversed → nontrivial directed cycles
+G3_SQL = (
+    f"WITH _b AS ({G2_SQL}) "
+    "SELECT src, dst FROM _b UNION "
+    "SELECT dst AS src, src AS dst FROM _b WHERE (src + dst) % 7 = 0"
+)
+
+
+def load_g3(spark: SparkSession, sf: str) -> Graph:
+    b = load_g2(spark, sf).edges
+    rev = b.filter((F.col("src") + F.col("dst")) % 7 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return Graph(b.union(rev).distinct(), dense=False)
+
+
+def _closure_sql(edge_sql: str, t: int) -> str:
+    import math
+
+    rounds = max(1, math.ceil(math.log2(t)))
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edge_sql}))",
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))",
+        "r0 AS MATERIALIZED (SELECT id AS x, id AS y FROM nodes UNION SELECT src AS x, dst AS y FROM e)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT DISTINCT x, y FROM ("
+            f"SELECT a.x, b.y FROM r{k-1} a JOIN r{k-1} b ON a.y = b.x "
+            f"UNION ALL SELECT x, y FROM r{k-1}) u)"
+        )
+    return ", ".join(parts), f"r{rounds}"
+
+
+def _scc_sql(edge_sql: str, t: int) -> str:
+    ctes, last = _closure_sql(edge_sql, t)
+    return (
+        ctes
+        + f", m AS (SELECT r.x, r.y FROM {last} r JOIN {last} s ON r.x = s.y AND r.y = s.x) "
+        "SELECT x AS id, min(y) AS comp FROM m GROUP BY x"
+    )
+
+
+def _harmonic_sql(edge_sql: str, t: int) -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edge_sql}))",
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))",
+        "d0 AS MATERIALIZED (SELECT id AS x, id AS y, 0 AS dist FROM nodes)",
+    ]
+    for k in range(1, t + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT x, y, min(dist) AS dist FROM ("
+            f"SELECT x, y, dist FROM d{k-1} UNION ALL "
+            f"SELECT d.x, e.dst AS y, d.dist + 1 AS dist FROM d{k-1} d "
+            f"JOIN e ON d.y = e.src WHERE d.dist = {k-1}) u GROUP BY x, y)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT y AS id, round(sum(1.0 / dist), {RND}) AS harmonic "
+        f"FROM d{t} WHERE dist > 0 GROUP BY y"
+    )
+
+
+def _scc_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "scc_g3": lambda spark, sf: strongly_connected_components(
+            load_g3(spark, sf), t=SCC_T
+        ),
+        "harmonic_g2": lambda spark, sf: harmonic_centrality(load_g2(spark, sf), t=HC_T),
+    }
+
+
+def _scc_oracles() -> dict[str, str]:
+    return {
+        "scc_g3": _scc_sql(G3_SQL, SCC_T),
+        "harmonic_g2": _harmonic_sql(G2_SQL, HC_T),
+    }
+
+
+_BASE_QUERIES2 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES2()
+    q.update(_scc_queries())
+    return q
+
+
+_BASE_ORACLES2 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = _BASE_ORACLES2()
+    o.update(_scc_oracles())
+    return o

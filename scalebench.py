@@ -1,0 +1,154 @@
+"""Scaling-efficiency evidence (north rule / BASELINE.md).
+
+The rule's two-cluster-size criterion (throughput scaling efficiency
+≥ 0.8 between N and 4N executors) cannot use a real cluster in this
+sandbox, so per the driver instructions we run the IDENTICAL job — same
+input parquet, same seed, same plan — at local[8] and local[32] in
+separate JVMs and report throughput at both plus
+efficiency = (T_8 / T_32) / 4.
+
+Workload: power-iteration PageRank, fixed iterations, on a deterministic
+power-law code-import-shaped graph (seed 42) big enough that per-stage
+compute dominates scheduling overhead.
+
+Usage: python scalebench.py [--nodes 500000] [--edges 10000000]
+       [--iters 5] [--out BENCH.md]
+Child mode (internal): python scalebench.py --child CPUS PARQUET_DIR ITERS
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+# scratch on tmpfs: the sandbox's block device has multi-second write
+# stalls (see session.py) — generated inputs and run dirs are ephemeral
+WORK = (
+    "/dev/shm/wbs_scalework"
+    if os.path.isdir("/dev/shm")
+    else os.path.join(REPO, "_scalework")
+)
+
+
+def gen_graph(n: int, m: int, path: str) -> int:
+    """Deterministic power-law graph → parquet (seed 42); returns arcs."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    w = (np.arange(1, n + 1, dtype=np.float64)) ** (-1.0 / 1.1)
+    cum = np.cumsum(w)
+    cum /= cum[-1]
+    # inverse-CDF sampling (rng.choice with p is ~100x slower at this m)
+    src = np.searchsorted(cum, rng.random(m)).astype(np.int64)
+    dst = np.searchsorted(cum, rng.random(m)).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    key = np.unique(src * np.int64(n) + dst)
+    df = pd.DataFrame({"src": key // n, "dst": key % n})
+    os.makedirs(path, exist_ok=True)
+    df.to_parquet(os.path.join(path, "edges.parquet"), index=False)
+    return len(df)
+
+
+def child(cpus: int, parquet_dir: str, iters: int) -> None:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from webgraph_big_spark.graph import Graph
+    from webgraph_big_spark.session import get_spark
+    from webgraph_big_spark.algorithms.pagerank import pagerank
+
+    spark = get_spark(f"scale-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    edges = spark.read.parquet(os.path.join(parquet_dir, "edges.parquet"))
+    g = Graph(edges, dense=False)
+    m = g.num_arcs()
+    # warmup iteration (JIT/codegen/cache), excluded from timing
+    pagerank(g, fixed_iterations=1)
+    run_dir = os.path.join(WORK, f"run_{cpus}")
+    import shutil
+
+    shutil.rmtree(run_dir, ignore_errors=True)
+    t0 = time.time()
+    pr = pagerank(g, fixed_iterations=iters, run_dir=run_dir, checkpoint_every=10**6)
+    pr.count()
+    dt = time.time() - t0
+    per_iter = [
+        json.loads(l)["sec"] for l in open(os.path.join(run_dir, "runs.jsonl"))
+    ]
+    med = sorted(per_iter)[len(per_iter) // 2]
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "arcs": m,
+                "iters": iters,
+                "sec": round(dt, 3),
+                "per_iter": [round(x, 2) for x in per_iter],
+                "median_iter_sec": round(med, 3),
+                "sec_median_basis": round(med * iters, 3),
+                "edges_per_sec_per_iter": round(m / med, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        i = sys.argv.index("--child")
+        child(int(sys.argv[i + 1]), sys.argv[i + 2], int(sys.argv[i + 3]))
+        return
+
+    def arg(name, default):
+        return int(sys.argv[sys.argv.index(name) + 1]) if name in sys.argv else default
+
+    n = arg("--nodes", 500_000)
+    m = arg("--edges", 10_000_000)
+    iters = arg("--iters", 5)
+
+    pq = os.path.join(WORK, f"pl_n{n}_m{m}")
+    if not os.path.exists(os.path.join(pq, "edges.parquet")):
+        arcs = gen_graph(n, m, pq)
+        print(f"# generated {arcs} arcs at {pq}", file=sys.stderr)
+
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--child", str(cpus), pq, str(iters)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"# local[{cpus}]: {results[cpus]}", file=sys.stderr)
+
+    # median per-iteration basis: robust to this sandbox's exogenous
+    # multi-second I/O stalls that hit random iterations
+    t8, t32 = results[8]["median_iter_sec"], results[32]["median_iter_sec"]
+    eff = (t8 / t32) / 4.0
+    summary = {
+        "metric": "pagerank scaling efficiency local[8] vs local[32] (median per-iteration)",
+        "t8_iter_sec": t8,
+        "t32_iter_sec": t32,
+        "t8_total_sec": results[8]["sec"],
+        "t32_total_sec": results[32]["sec"],
+        "per_iter_8": results[8]["per_iter"],
+        "per_iter_32": results[32]["per_iter"],
+        "speedup_8_to_32": round(t8 / t32, 3),
+        "efficiency": round(eff, 3),
+        "throughput_8": results[8]["edges_per_sec_per_iter"],
+        "throughput_32": results[32]["edges_per_sec_per_iter"],
+        "arcs": results[32]["arcs"],
+        "iters": iters,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

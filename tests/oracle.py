@@ -135,3 +135,71 @@ def neighbourhood_function_oracle(edges: np.ndarray, n: int, t_max: int) -> list
         reach = new_reach
         out.append(sum(len(r) for r in reach.values()))
     return out
+
+
+def scc_oracle(edges: np.ndarray, n: int) -> np.ndarray:
+    """Iterative Tarjan SCC; labels canonicalized to min member id."""
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[int(s)].append(int(d))
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = np.full(n, -1, dtype=np.int64)
+    counter = [0]
+    comps = []
+
+    for root in range(n):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            nbrs = adj.get(v, [])
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                group = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    group.append(w)
+                    if w == v:
+                        break
+                comps.append(group)
+            work.pop()
+            if work:
+                pv, _ = work[-1]
+                low[pv] = min(low[pv], low[v])
+    for group in comps:
+        m = min(group)
+        for w in group:
+            comp[w] = m
+    return comp
+
+
+def harmonic_oracle(edges: np.ndarray, n: int, t_max: int) -> dict[int, float]:
+    """Σ over y≠x with directed d(y→x) ≤ t of 1/d (incoming convention)."""
+    out = {}
+    for y in range(n):
+        d = bfs_oracle(edges, n, [y], symmetric_expand=False)
+        for x, dist in d.items():
+            if 0 < dist <= t_max:
+                out[x] = out.get(x, 0.0) + 1.0 / dist
+    return {x: round(v, 9) for x, v in out.items()}

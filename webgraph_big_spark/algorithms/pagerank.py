@@ -59,13 +59,16 @@ def pagerank(
     if n == 0:
         return spark.createDataFrame([], "id long, rank double")
 
-    # static per-iteration input: edges pre-joined with the source
-    # outdegree (built once, lineage-truncated).  At cluster scale this
-    # table is written bucketed by ``src`` so the per-iteration join
-    # shuffles only the (tiny) rank table — the edge table never moves.
+    # Static per-iteration input: edges pre-joined with the source
+    # outdegree, built once and lineage-truncated.  The degree join
+    # shuffles by src, which would leave every mega-hub's arcs in ONE
+    # partition for the rest of the run — rebalance round-robin so scan
+    # tasks are even (locality is irrelevant on the broadcast-join path).
+    spark_parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges_w = (
         g.edges.select("src", "dst")
         .join(g.out_degrees().withColumnRenamed("id", "src"), "src")
+        .repartition(spark_parallelism)
         .localCheckpoint(eager=True)
     )
 
@@ -77,8 +80,17 @@ def pagerank(
         # so dangling mass = 1 − Σ inflow — computed from the SAME
         # aggregated exchange (Catalyst reuses it) instead of a second
         # scan, and folded in via a 1-row broadcast cross-join.
+        # After localCheckpoint the rank DataFrame is a LogicalRDD with no
+        # size statistics, so Catalyst would silently fall back to a
+        # sort-merge join that reshuffles the whole edge table every
+        # round.  Broadcast the rank side explicitly while it fits (n
+        # rows × ~24 B); beyond that, a real deployment buckets edges_w
+        # by src so the SMJ shuffles only ranks.
+        rank_side = ranks.select(F.col("id").alias("src"), "rank")
+        if n <= 20_000_000:
+            rank_side = F.broadcast(rank_side)
         contribs = (
-            edges_w.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
+            edges_w.join(rank_side, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
         )

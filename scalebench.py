@@ -116,36 +116,49 @@ def main() -> None:
         arcs = gen_graph(n, m, pq)
         print(f"# generated {arcs} arcs at {pq}", file=sys.stderr)
 
-    results = {}
-    for cpus in (8, 32):
-        out = subprocess.run(
-            [sys.executable, __file__, "--child", str(cpus), pq, str(iters)],
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(f"# local[{cpus}]: {results[cpus]}", file=sys.stderr)
+    runs = arg("--runs", 2)
+    per_iter: dict[int, list[float]] = {8: [], 32: []}
+    arcs = None
+    # interleave the legs so host-level CPU-steal bursts (this sandbox has
+    # them) hit both parallelism levels with the same odds
+    for r in range(runs):
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--child", str(cpus), pq, str(iters)],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            rec = json.loads(line)
+            arcs = rec["arcs"]
+            per_iter[cpus].extend(rec["per_iter"])
+            print(f"# run {r} local[{cpus}]: {rec['per_iter']}", file=sys.stderr)
 
-    # median per-iteration basis: robust to this sandbox's exogenous
-    # multi-second I/O stalls that hit random iterations
-    t8, t32 = results[8]["median_iter_sec"], results[32]["median_iter_sec"]
+    def median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
+
+    # median across all interleaved iterations per level; min reported as
+    # the stall-free intrinsic estimate
+    t8, t32 = median(per_iter[8]), median(per_iter[32])
     eff = (t8 / t32) / 4.0
     summary = {
-        "metric": "pagerank scaling efficiency local[8] vs local[32] (median per-iteration)",
-        "t8_iter_sec": t8,
-        "t32_iter_sec": t32,
-        "t8_total_sec": results[8]["sec"],
-        "t32_total_sec": results[32]["sec"],
-        "per_iter_8": results[8]["per_iter"],
-        "per_iter_32": results[32]["per_iter"],
+        "metric": "pagerank scaling efficiency local[8] vs local[32] (median per-iteration, interleaved runs)",
+        "t8_iter_sec": round(t8, 3),
+        "t32_iter_sec": round(t32, 3),
+        "t8_iter_min_sec": min(per_iter[8]),
+        "t32_iter_min_sec": min(per_iter[32]),
+        "per_iter_8": per_iter[8],
+        "per_iter_32": per_iter[32],
         "speedup_8_to_32": round(t8 / t32, 3),
         "efficiency": round(eff, 3),
-        "throughput_8": results[8]["edges_per_sec_per_iter"],
-        "throughput_32": results[32]["edges_per_sec_per_iter"],
-        "arcs": results[32]["arcs"],
-        "iters": iters,
+        "efficiency_min_basis": round(min(per_iter[8]) / min(per_iter[32]) / 4.0, 3),
+        "throughput_8": round(arcs / t8, 1),
+        "throughput_32": round(arcs / t32, 1),
+        "arcs": arcs,
+        "iters_per_run": iters,
+        "runs": runs,
     }
     print(json.dumps(summary))
 

@@ -1,0 +1,103 @@
+"""Capture formatted physical plans for the flagship operators into
+PLANS.md — the evidence that filters push to the parquet scan, small
+sides broadcast, and the hot path stays inside whole-stage codegen.
+
+Usage: python tools/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from webgraph_big_spark.session import get_spark
+    from webgraph_big_spark.algorithms.triangles import triangle_edges
+    from webgraph_big_spark.datapipe import dedup as dd
+
+    spark = get_spark("plans", cpus=8, shuffle_partitions=8)
+
+    sections: list[tuple[str, str, object]] = []
+
+    # 1. scan pushdown: projection+filter over lineitem
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    pushdown = li.filter(F.col("l_shipdate") < "1996-01-01").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    sections.append(
+        (
+            "Scan pushdown (filter + projection reach the parquet reader)",
+            "Expect PushedFilters: [LessThan(l_shipdate,...)], ReadSchema with 3 columns only.",
+            pushdown,
+        )
+    )
+
+    # 2. one PageRank round: broadcast of the rank side, partial agg
+    g1 = entry.load_g1(spark, sf)
+    edges_w = g1.edges.join(
+        g1.out_degrees().withColumnRenamed("id", "src"), "src"
+    )
+    ranks = g1.nodes().select("id", F.lit(0.001).alias("rank")).localCheckpoint(eager=True)
+    contribs = (
+        edges_w.join(F.broadcast(ranks.select(F.col("id").alias("src"), "rank")), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
+    )
+    sections.append(
+        (
+            "PageRank round (contribs)",
+            "Expect BroadcastHashJoin on the rank side (edge table never shuffles in the join) "
+            "and HashAggregate partial/final pair (map-side combine ahead of the dst shuffle).",
+            contribs,
+        )
+    )
+
+    # 3. triangles: degree-oriented intersection, codegen
+    tri = triangle_edges(entry.load_g2(spark, sf))
+    sections.append(
+        (
+            "Triangle counting (oriented CSR intersection)",
+            "Expect array_intersect inside WholeStageCodegen (JVM hot path, no Python).",
+            tri,
+        )
+    )
+
+    # 4. minhash signatures: explode + grouped min aggregates
+    sig = dd.minhash_signatures(spark.read.parquet(f"{sf}/documents.parquet"))
+    sections.append(
+        (
+            "MinHash signatures",
+            "Expect generate/explode + two-phase HashAggregate; all expressions codegen'd.",
+            sig,
+        )
+    )
+
+    out = ["# PLANS — formatted physical plans of flagship operators\n"]
+    out.append(
+        "Captured by `tools/explain_plans.py` at sf dir `%s`. Each section notes\n"
+        "what the plan must show for the operator to be scale-correct.\n" % sf
+    )
+    for title, expect, df in sections:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"\n## {title}\n\n{expect}\n\n```\n{buf.getvalue().strip()}\n```\n")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as fh:
+        fh.write("".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()

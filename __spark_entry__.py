@@ -843,3 +843,320 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     o = _BASE_ORACLES2()
     o.update(_scc_oracles())
     return o
+
+
+# ===========================================================================
+# Round-2 gates: labelled storage, layout permutations, HyperBall registers,
+# FW-BW SCC + buckets, BFS parents, k-means IVF, bucketed PageRank
+# ===========================================================================
+
+import tempfile  # noqa: E402
+
+from webgraph_big_spark.algorithms.bfs import bfs_distances as _bfs  # noqa: E402
+from webgraph_big_spark.algorithms.hyperball import (  # noqa: E402
+    hyperball_registers,
+    hyperball_registers_sql,
+    hyperball_centralities,
+)
+from webgraph_big_spark.algorithms.scc import (  # noqa: E402
+    strongly_connected_components_fwbw,
+    scc_buckets,
+)
+
+HB_T = 2
+KM_K = 8
+KM_ITERS = 3
+EMB_DIM = 64
+
+# G5: nation-level quotient of G1 with half the arcs reversed — a tiny
+# (≤50-node) directed graph with nontrivial SCCs and small diameter, the
+# hash-matched fixture for the FW-BW path (whose closure-free oracle
+# stays cheap here; big-graph FW-BW behaviour is pytest-covered).
+G5_SQL = (
+    f"WITH _q AS (SELECT DISTINCT c.c_nationkey::BIGINT AS src, "
+    "(100000 + s.s_nationkey)::BIGINT AS dst "
+    f"FROM ({G1_SQL}) g JOIN customer c ON g.src = c.c_custkey "
+    "JOIN supplier s ON g.dst - 100000 = s.s_suppkey) "
+    "SELECT src, dst FROM _q UNION "
+    "SELECT dst AS src, src AS dst FROM _q WHERE (src + dst) % 2 = 0"
+)
+
+
+def load_g5(spark: SparkSession, sf: str) -> Graph:
+    cust = _read(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_nationkey").cast("long").alias("to"),
+    )
+    supp = _read(spark, sf, "supplier").select(
+        (F.lit(100000) + F.col("s_suppkey")).cast("long").alias("id"),
+        (F.lit(100000) + F.col("s_nationkey")).cast("long").alias("to"),
+    )
+    q = tr.quotient_graph(load_g1(spark, sf), cust.union(supp)).edges
+    rev = q.filter((F.col("src") + F.col("dst")) % 2 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return Graph(q.union(rev).distinct(), dense=False)
+
+
+def _store_load_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Labelled-storage roundtrip: store the weighted purchase graph
+    (gap-encoded CSR + aligned label arrays), load it back, return the
+    arcs — the ``BVGraph.storeLabelled`` gate (identity oracle)."""
+    g = load_g1_weighted(spark, sf, 0)
+    base = tempfile.mkdtemp(prefix="wbs_store_gate_")
+    g.store(base, buckets=8)
+    loaded = Graph.load(spark, base)
+    return loaded.edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+
+
+def _relabel_edges(spark: SparkSession, sf: str, which: str) -> DataFrame:
+    g = load_g2(spark, sf)
+    key = {"lex": tr.lex_key, "gray": tr.gray_key}[which](g)
+    relabeled, _perm = tr.relabel_by_order(g, key)
+    return relabeled.edges
+
+
+def _relabel_random(spark: SparkSession, sf: str) -> DataFrame:
+    g = load_g2(spark, sf)
+    relabeled, _perm = tr.relabel_by_order(g, tr.random_key(g, seed=0))
+    return relabeled.edges
+
+
+def _bfs_parents(spark: SparkSession, sf: str) -> DataFrame:
+    g = load_g2(spark, sf)
+    source = g.touched_nodes().agg(F.min("id")).first()[0]
+    return _bfs(g, [int(source)], fixed_rounds=BFS_ROUNDS, parents=True).select(
+        "id", F.col("dist").cast("int").alias("dist"), "parent"
+    )
+
+
+def _r2_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    q["store_load_weighted_g1"] = _store_load_weighted
+    q["relabel_lex_g2"] = lambda spark, sf: _relabel_edges(spark, sf, "lex")
+    q["relabel_gray_g2"] = lambda spark, sf: _relabel_edges(spark, sf, "gray")
+    q["relabel_random_g2"] = _relabel_random
+    q["bfs_parents_g2"] = _bfs_parents
+
+    q["hyperball_regs_g2"] = lambda spark, sf: hyperball_registers(
+        load_g2(spark, sf), HB_T
+    )
+    # HLL-estimated centralities: genuinely non-SQL-expressible output
+    # (float estimator over merged registers); gated rows-only, accuracy
+    # is pytest-gated against the exact oracle (tests/test_hyperball.py)
+    q["hyperball_centralities_g2"] = lambda spark, sf: hyperball_centralities(
+        load_g2(spark, sf), t_max=4
+    ).select("id", F.round("reachable", 3).alias("reachable"),
+             F.round("harmonic", 3).alias("harmonic"))
+
+    q["scc_fwbw_g5"] = lambda spark, sf: strongly_connected_components_fwbw(
+        load_g5(spark, sf)
+    )
+    q["scc_buckets_g3"] = lambda spark, sf: scc_buckets(
+        load_g3(spark, sf),
+        strongly_connected_components(load_g3(spark, sf), t=SCC_T),
+    ).select(F.col("comp").cast("long"))
+
+    q["pagerank_bucketed_g1"] = lambda spark, sf: pagerank(
+        load_g1(spark, sf),
+        alpha=ALPHA,
+        fixed_iterations=PR_ITERS,
+        broadcast_threshold_bytes=1,  # force the co-partitioned path
+    ).select("id", F.round("rank", RND).alias("rank"))
+
+    q["kmeans_cells"] = lambda spark, sf: ds.kmeans_assign(
+        _emb(spark, sf),
+        ds.kmeans_fit(_emb(spark, sf), k=KM_K, iters=KM_ITERS),
+    ).select(F.col("_pid").alias("vec_id"), "cell")
+
+    return q
+
+
+def _perm_sql(edge_sql: str, key_expr: str) -> str:
+    """Relabel oracle: build per-node sorted successor arrays, order by
+    the given key expression (+ id tiebreak), remap both endpoints."""
+    return (
+        f"WITH _e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edge_sql})), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM _e0 UNION ALL SELECT dst FROM _e0)), "
+        "adj AS MATERIALIZED (SELECT n.id, COALESCE(l.k, []::BIGINT[]) AS k FROM nodes n "
+        "LEFT JOIN (SELECT src AS id, list(dst ORDER BY dst) AS k FROM _e0 GROUP BY src) l "
+        "ON l.id = n.id), "
+        f"keyed AS MATERIALIZED (SELECT id, {key_expr} AS key FROM adj), "
+        "perm AS MATERIALIZED (SELECT id, row_number() OVER (ORDER BY key, id) - 1 AS t FROM keyed) "
+        "SELECT DISTINCT ps.t AS src, pd.t AS dst FROM _e0 e "
+        "JOIN perm ps ON e.src = ps.id JOIN perm pd ON e.dst = pd.id"
+    )
+
+
+def _gray_key_sql() -> str:
+    maxv, inf = tr.GRAY_MAXV, tr.GRAY_INF
+    gk = (
+        "list_transform(generate_series(1, len(k)), "
+        f"i -> CASE WHEN (i - 1) % 2 = 0 THEN {maxv} - k[i] ELSE k[i] END)"
+    )
+    return f"CASE WHEN len(k) % 2 = 1 THEN list_append({gk}, {inf}) ELSE {gk} END"
+
+
+def _random_perm_sql(edge_sql: str, seed: int) -> str:
+    key = f"('0x' || substr(md5('{seed}:' || id::VARCHAR), 1, 12))::BIGINT"
+    return (
+        f"WITH _e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edge_sql})), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM _e0 UNION ALL SELECT dst FROM _e0)), "
+        f"perm AS MATERIALIZED (SELECT id, row_number() OVER (ORDER BY {key}, id) - 1 AS t FROM nodes) "
+        "SELECT DISTINCT ps.t AS src, pd.t AS dst FROM _e0 e "
+        "JOIN perm ps ON e.src = ps.id JOIN perm pd ON e.dst = pd.id"
+    )
+
+
+def _bfs_parents_sql(edge_sql: str, rounds: int) -> str:
+    parts = [
+        "WITH " + _sym_cte(edge_sql),
+        "v0 AS MATERIALIZED (SELECT (SELECT min(id) FROM nodes) AS id, 0 AS dist, "
+        "(SELECT min(id) FROM nodes) AS parent)",
+        "f0 AS MATERIALIZED (SELECT * FROM v0)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"f{k} AS MATERIALIZED (SELECT id, {k} AS dist, parent FROM ("
+            f"SELECT e.dst AS id, min(f.id) AS parent FROM e JOIN f{k-1} f ON e.src = f.id "
+            f"GROUP BY e.dst) x WHERE id NOT IN (SELECT id FROM v{k-1}))"
+        )
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT * FROM v{k-1} UNION ALL SELECT * FROM f{k})"
+        )
+    return ", ".join(parts) + f" SELECT id, dist::INT AS dist, parent FROM v{rounds}"
+
+
+def _kmeans_ctes(k: int, iters: int, dim: int) -> tuple[str, str]:
+    """Unrolled Lloyd iterations mirroring ds.kmeans_fit exactly;
+    returns (cte_block, final_centroid_cte_name)."""
+    h = "('0x' || substr(md5('km:' || pid::VARCHAR), 1, 12))::BIGINT"
+    d2 = (
+        "round(list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.centroid) "
+        "+ list_dot_product(c.centroid, c.centroid), 9)"
+    )
+    parts = [
+        "pts AS MATERIALIZED (SELECT vec_id AS pid, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"dims AS MATERIALIZED (SELECT unnest(generate_series(1, {dim})) AS pos)",
+        f"seeds AS MATERIALIZED (SELECT pid, v, {h} AS hh FROM pts ORDER BY hh, pid LIMIT {k})",
+        "c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY hh, pid) - 1 AS cell, "
+        "list_transform(v, x -> round(x, 9)) AS centroid FROM seeds)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT pid, cell FROM ("
+            f"SELECT p.pid, c.cell, row_number() OVER (PARTITION BY p.pid "
+            f"ORDER BY {d2} ASC, c.cell ASC) AS rn FROM pts p CROSS JOIN c{i-1} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT cell, list(vv ORDER BY pos) AS centroid FROM ("
+            f"SELECT a.cell, dims.pos, round(avg(p.v[dims.pos]), 9) AS vv "
+            f"FROM a{i} a JOIN pts p USING (pid) CROSS JOIN dims "
+            "GROUP BY a.cell, dims.pos) GROUP BY cell)"
+        )
+    return ", ".join(parts), f"c{iters}"
+
+
+def _kmeans_assign_sql(k: int, iters: int, dim: int) -> str:
+    ctes, cfin = _kmeans_ctes(k, iters, dim)
+    d2 = (
+        "round(list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.centroid) "
+        "+ list_dot_product(c.centroid, c.centroid), 9)"
+    )
+    return (
+        "WITH " + ctes + " SELECT pid AS vec_id, cell FROM ("
+        "SELECT p.pid, c.cell, row_number() OVER (PARTITION BY p.pid "
+        f"ORDER BY {d2} ASC, c.cell ASC) AS rn FROM pts p CROSS JOIN {cfin} c) WHERE rn = 1"
+    )
+
+
+def _ivf_kmeans_sql(k_cells: int, iters: int, dim: int, topk: int, nprobe: int) -> str:
+    ctes, cfin = _kmeans_ctes(k_cells, iters, dim)
+    d2 = (
+        "round(list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.centroid) "
+        "+ list_dot_product(c.centroid, c.centroid), 9)"
+    )
+    _cos_qc = (
+        "round(list_dot_product(q.qv, c.centroid) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.centroid, c.centroid))), 9)"
+    )
+    _cos_qn = (
+        "round(list_dot_product(qv, cv) / "
+        f"(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), {TOPK_RND})"
+    )
+    return (
+        "WITH " + ctes + ", "
+        "assign AS MATERIALIZED (SELECT pid, cell FROM ("
+        "SELECT p.pid, c.cell, row_number() OVER (PARTITION BY p.pid "
+        f"ORDER BY {d2} ASC, c.cell ASC) AS rn FROM pts p CROSS JOIN {cfin} c) WHERE rn = 1), "
+        "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8), "
+        f"cellscore AS (SELECT q.query_id, q.qv, c.cell, {_cos_qc} AS cs "
+        f"FROM q CROSS JOIN {cfin} c), "
+        "probed AS (SELECT query_id, qv, cell FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY query_id ORDER BY cs DESC, cell ASC) AS r FROM cellscore) WHERE r <= {nprobe}), "
+        "cc AS (SELECT p.pid AS neighbor_id, a.cell, p.v AS cv FROM pts p JOIN assign a USING (pid)), "
+        f"sims AS (SELECT query_id, neighbor_id, {_cos_qn} AS cos_sim "
+        "FROM probed JOIN cc USING (cell) WHERE query_id <> neighbor_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM sims) "
+        f"SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank FROM r WHERE rank <= {topk}"
+    )
+
+
+def _r2_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["store_load_weighted_g1"] = _g1w_sql(0)
+    o["relabel_lex_g2"] = _perm_sql(G2_SQL, "k")
+    o["relabel_gray_g2"] = _perm_sql(G2_SQL, _gray_key_sql())
+    o["relabel_random_g2"] = _random_perm_sql(G2_SQL, 0)
+    o["bfs_parents_g2"] = _bfs_parents_sql(G2_SQL, BFS_ROUNDS)
+    o["hyperball_regs_g2"] = hyperball_registers_sql(G2_SQL, HB_T)
+    o["scc_fwbw_g5"] = _scc_sql(G5_SQL, 8)
+    o["scc_buckets_g3"] = (
+        _scc_sql(G3_SQL, SCC_T).replace(
+            "SELECT x AS id, min(y) AS comp FROM m GROUP BY x",
+            ", comps AS MATERIALIZED (SELECT x AS id, min(y) AS comp FROM m GROUP BY x), "
+            "arcs AS MATERIALIZED (SELECT cs.comp AS c_src, cd.comp AS c_dst FROM e "
+            "JOIN comps cs ON e.src = cs.id JOIN comps cd ON e.dst = cd.id) "
+            "SELECT DISTINCT c_src AS comp FROM arcs WHERE c_src NOT IN "
+            "(SELECT c_src FROM arcs WHERE c_src <> c_dst)",
+        )
+    )
+    o["pagerank_bucketed_g1"] = _pagerank_sql(G1_SQL, PR_ITERS, ALPHA)
+    o["kmeans_cells"] = _kmeans_assign_sql(KM_K, KM_ITERS, EMB_DIM)
+    # recomputed ivf oracle: trained quantizer instead of the label column
+    o["embedding_ivf_topk"] = _ivf_kmeans_sql(KM_K, KM_ITERS, EMB_DIM, TOPK_K, 2)
+    # quality guard: empty docs score 0 on both engines now
+    o["quality_score"] = (
+        "WITH f AS (SELECT doc_id, len(" + _TOKS + ")::DOUBLE AS n, "
+        "len(list_filter(" + _TOKS + ", x -> x IN ("
+        + ", ".join(f"'{w}'" for w in dt.STOPWORDS["en"])
+        + ")))::DOUBLE AS stop, "
+        "len(list_distinct(" + _TOKS + "))::DOUBLE AS uniq FROM documents) "
+        "SELECT doc_id, CASE WHEN n = 0 THEN 0.0 ELSE "
+        "round(0.3 * least(n / 100.0, 1.0) + 0.4 * (stop / n) + 0.3 * (uniq / n), 9) "
+        "END AS quality FROM f"
+    )
+    return o
+
+
+_BASE_QUERIES3 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    q = _BASE_QUERIES3()
+    q.update(_r2_queries())
+    return q
+
+
+_BASE_ORACLES3 = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    o = _BASE_ORACLES3()
+    o.update(_r2_oracles())
+    return o

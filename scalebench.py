@@ -55,6 +55,37 @@ def gen_graph(n: int, m: int, path: str) -> int:
     return len(df)
 
 
+def _proc_tree_cpu_secs() -> float:
+    """CPU seconds (utime+stime) of this process plus all live
+    descendants (the Spark JVM) — /proc scan, no psutil.  Used to report
+    per-leg *effective cores* (cpu/wall): a steal-immune measure of how
+    much CPU the hypervisor actually granted the leg."""
+    me = os.getpid()
+    # build pid -> (ppid, utime+stime in jiffies)
+    info = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                parts = fh.read().rsplit(")", 1)[1].split()
+            # after the comm field: state=0, ppid=1, ..., utime=11, stime=12
+            info[int(d)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+        except OSError:
+            continue
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in info.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        p = stack.pop()
+        if p in info:
+            total += info[p][1]
+            stack.extend(children.get(p, []))
+    hz = os.sysconf("SC_CLK_TCK")
+    return total / hz
+
+
 def child(cpus: int, parquet_dir: str, iters: int) -> None:
     sys.path.insert(0, REPO)
     from pyspark.sql import functions as F
@@ -73,10 +104,12 @@ def child(cpus: int, parquet_dir: str, iters: int) -> None:
     import shutil
 
     shutil.rmtree(run_dir, ignore_errors=True)
+    cpu0 = _proc_tree_cpu_secs()
     t0 = time.time()
     pr = pagerank(g, fixed_iterations=iters, run_dir=run_dir, checkpoint_every=10**6)
     pr.count()
     dt = time.time() - t0
+    cpu1 = _proc_tree_cpu_secs()
     per_iter = [
         json.loads(l)["sec"] for l in open(os.path.join(run_dir, "runs.jsonl"))
     ]
@@ -92,6 +125,9 @@ def child(cpus: int, parquet_dir: str, iters: int) -> None:
                 "median_iter_sec": round(med, 3),
                 "sec_median_basis": round(med * iters, 3),
                 "edges_per_sec_per_iter": round(m / med, 1),
+                "cpu_secs": round(cpu1 - cpu0, 2),
+                "cpu_secs_per_iter": round((cpu1 - cpu0) / iters, 2),
+                "effective_cores": round((cpu1 - cpu0) / dt, 2),
             }
         )
     )
@@ -118,6 +154,7 @@ def main() -> None:
 
     runs = arg("--runs", 2)
     per_iter: dict[int, list[float]] = {8: [], 32: []}
+    legs: list[dict] = []
     arcs = None
     # interleave the legs so host-level CPU-steal bursts (this sandbox has
     # them) hit both parallelism levels with the same odds
@@ -133,7 +170,12 @@ def main() -> None:
             rec = json.loads(line)
             arcs = rec["arcs"]
             per_iter[cpus].extend(rec["per_iter"])
-            print(f"# run {r} local[{cpus}]: {rec['per_iter']}", file=sys.stderr)
+            legs.append(rec)
+            print(
+                f"# run {r} local[{cpus}]: {rec['per_iter']} "
+                f"(eff_cores={rec.get('effective_cores')}, cpu/iter={rec.get('cpu_secs_per_iter')})",
+                file=sys.stderr,
+            )
 
     def median(xs):
         xs = sorted(xs)
@@ -159,6 +201,18 @@ def main() -> None:
         "arcs": arcs,
         "iters_per_run": iters,
         "runs": runs,
+        # steal-immune context: how many cores each leg actually got
+        # (process-tree CPU / wall) and the parallel-overhead check
+        # (cpu_secs_per_iter should be ~level-independent)
+        "legs": [
+            {
+                "cpus": l["cpus"],
+                "median_iter_sec": l["median_iter_sec"],
+                "effective_cores": l.get("effective_cores"),
+                "cpu_secs_per_iter": l.get("cpu_secs_per_iter"),
+            }
+            for l in legs
+        ],
     }
     print(json.dumps(summary))
 

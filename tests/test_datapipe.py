@@ -124,8 +124,10 @@ def test_similarity_topk_vs_numpy(spark):
             )[:4]
         ]
         assert [n for _, n in sorted(got_m[qid])] == order
-    # IVF with all cells probed == brute force
-    ivf_all = ds.ivf_topk(df.filter(F.col("vec_id") < 3), df, k=4, nprobe=3)
+    # IVF with all k-means cells probed == brute force
+    ivf_all = ds.ivf_topk(
+        df.filter(F.col("vec_id") < 3), df, k=4, nprobe=4, k_cells=4, km_iters=2
+    )
     assert sorted(map(tuple, ivf_all.collect())) == sorted(map(tuple, got.collect()))
 
 

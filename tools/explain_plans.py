@@ -82,6 +82,67 @@ def main() -> None:
         )
     )
 
+    # 5. co-partitioned PageRank round (the beyond-broadcast path): edge
+    # table pre-hash-partitioned by src, rank side shuffle-hash joined
+    edges_b = (
+        g1.edges.join(g1.out_degrees().withColumnRenamed("id", "src"), "src")
+        .repartition(8, "src")
+        .localCheckpoint(eager=True)
+    )
+    contribs_b = (
+        edges_b.join(
+            ranks.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
+        )
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
+    )
+    sections.append(
+        (
+            "PageRank round, co-partitioned path (n beyond broadcast)",
+            "Expect ShuffledHashJoin with NO Exchange on the edge side (its hash "
+            "partitioning survives localCheckpoint) — only the rank side exchanges.",
+            contribs_b,
+        )
+    )
+
+    # 6. global_rank: the zipWithIndex pattern — no single-partition sort
+    from webgraph_big_spark.functions import global_rank
+
+    ranked = global_rank(
+        g1.touched_nodes().select("id"), ["id"], out="rank", partitions=8
+    )
+    sections.append(
+        (
+            "global_rank (dense-id assignment)",
+            "Expect NO Exchange SinglePartition / global Sort: one range "
+            "repartition + per-partition sort + broadcast offset join.",
+            ranked,
+        )
+    )
+
+    # 7. HyperBall merge round: JVM collect_list gather + one Arrow UDF
+    from webgraph_big_spark.algorithms.hyperball import _init_state, _merge_udf
+
+    state = _init_state(g1).localCheckpoint(eager=True)
+    msgs = (
+        g1.edges.join(state.withColumnRenamed("id", "dst"), "dst")
+        .select(F.col("src").alias("id"), "regs")
+    )
+    merged = (
+        msgs.groupBy("id")
+        .agg(F.collect_list("regs").alias("rl"))
+        .select("id", _merge_udf("rl").alias("regs"))
+    )
+    sections.append(
+        (
+            "HyperBall merge round",
+            "Expect ObjectHashAggregate (collect_list) partial/final around the id "
+            "shuffle, then ONE ArrowEvalPython for the register max-merge — no "
+            "per-group Python (FlatMapGroupsInPandas must NOT appear).",
+            merged,
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of flagship operators\n"]
     out.append(
         "Captured by `tools/explain_plans.py` at sf dir `%s`. Each section notes\n"

@@ -23,11 +23,18 @@ def bfs_distances(
     symmetric: bool = False,
     max_depth: int = 10_000,
     fixed_rounds: int | None = None,
+    parents: bool = False,
 ) -> DataFrame:
-    """(id, dist) for nodes reachable from any source (multi-source BFS).
+    """(id, dist[, parent]) for nodes reachable from any source
+    (multi-source BFS).
 
     Unreached nodes are absent from the result (dist would be ∞).
     ``fixed_rounds`` runs exactly k expansion rounds (oracle gate mode).
+    ``parents=True`` adds the BFS-tree parent — the reference's
+    ``marker`` holding the parent instead of the round
+    (``ParallelBreadthFirstVisit.java:183``); ties are broken
+    deterministically by minimum parent id (sources get parent = own
+    id, as the reference's roots point at themselves).
     """
     spark = g.edges.sparkSession
     gs = g if symmetric else symmetrize(g)
@@ -38,18 +45,29 @@ def bfs_distances(
     else:
         src_df = spark.createDataFrame([(int(s),) for s in sources], "id long")
 
-    visited = src_df.select("id", F.lit(0).alias("dist")).localCheckpoint(eager=True)
+    first_cols = ["id", F.lit(0).alias("dist")] + (
+        [F.col("id").alias("parent")] if parents else []
+    )
+    visited = src_df.select(*first_cols).localCheckpoint(eager=True)
     frontier = visited
     depth = 0
     limit = fixed_rounds if fixed_rounds is not None else max_depth
     while depth < limit:
         depth += 1
+        expand = edges.join(frontier.select(F.col("id").alias("src")), "src")
+        if parents:
+            nxt_base = expand.groupBy(F.col("dst").alias("id")).agg(
+                F.min("src").alias("parent")
+            )
+        else:
+            nxt_base = expand.select(F.col("dst").alias("id")).distinct()
         nxt = (
-            edges.join(frontier.select(F.col("id").alias("src")), "src")
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(visited.select("id"), "id", "left_anti")
-            .select("id", F.lit(depth).alias("dist"))
+            nxt_base.join(visited.select("id"), "id", "left_anti")
+            .select(
+                "id",
+                F.lit(depth).alias("dist"),
+                *(["parent"] if parents else []),
+            )
             .localCheckpoint(eager=True)  # truncate per-level lineage
         )
         if nxt.isEmpty():

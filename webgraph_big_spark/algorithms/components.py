@@ -50,10 +50,12 @@ def connected_components(
     gs = g if symmetric else symmetrize(g)
     edges = gs.edges.select("src", "dst").cache()
 
+    # dense graphs expose the FULL [0, n) node set whether or not n was
+    # declared (g.nodes() derives it) — so isolated/gap ids get the same
+    # treatment here as in pagerank()/nodes(); only scattered-id graphs
+    # fall back to touched endpoints.
     nodes = (
-        g.nodes()
-        if include_isolated and g._num_nodes is not None
-        else gs.touched_nodes()
+        g.nodes() if include_isolated and g.dense else gs.touched_nodes()
     ).cache()
 
     def initial() -> DataFrame:
@@ -145,9 +147,17 @@ def connected_components_star(
     prev_sig = None
     for _ in range(max_iterations):
         new_rel = small_star(large_star(rel)).localCheckpoint(eager=True)
+        # convergence signature: (count, Σ xxhash64(u, v)) — a 64-bit
+        # avalanche hash per row, so two distinct relations colliding on
+        # BOTH is ~2^-64; the weak u*31+v sum could collide and stop
+        # early.  Decimal(38) accumulator: exact and overflow-free under
+        # ANSI mode at any row count.
         sig = new_rel.agg(
             F.count("*").alias("c"),
-            F.coalesce(F.sum(F.col("u") * 31 + F.col("v")), F.lit(0)).alias("s"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("s"),
         ).first()
         cur_sig = (sig["c"], sig["s"])
         rel = new_rel

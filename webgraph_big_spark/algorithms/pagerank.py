@@ -45,6 +45,7 @@ def pagerank(
     resume: bool = True,
     fixed_iterations: int | None = None,
     check_every: int = 4,
+    broadcast_threshold_bytes: int | None = None,
 ) -> DataFrame:
     """Returns (id, rank) over all n nodes.
 
@@ -59,18 +60,43 @@ def pagerank(
     if n == 0:
         return spark.createDataFrame([], "id long, rank double")
 
-    # Static per-iteration input: edges pre-joined with the source
-    # outdegree, built once and lineage-truncated.  The degree join
-    # shuffles by src, which would leave every mega-hub's arcs in ONE
-    # partition for the rest of the run — rebalance round-robin so scan
-    # tasks are even (locality is irrelevant on the broadcast-join path).
+    # Join-strategy choice, *memory-aware* (not a magic row count): the
+    # rank side is broadcast while its estimated bytes fit the session's
+    # autoBroadcastJoinThreshold; beyond that the edge table is
+    # pre-partitioned by src ONCE (hash partitioning survives
+    # localCheckpoint), so each iteration's rank join is a shuffled hash
+    # join that exchanges ONLY the rank rows — the edge table never
+    # reshuffles, the bucketed-table pattern without a metastore.
     spark_parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges_w = (
-        g.edges.select("src", "dst")
-        .join(g.out_degrees().withColumnRenamed("id", "src"), "src")
-        .repartition(spark_parallelism)
-        .localCheckpoint(eager=True)
+    if broadcast_threshold_bytes is None:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        digits = "".join(ch for ch in str(raw) if ch.isdigit() or ch == "-")
+        base = int(digits) if digits else 10485760
+        if str(raw).lower().rstrip("b").endswith("m"):
+            base *= 1 << 20
+        elif str(raw).lower().rstrip("b").endswith("k"):
+            base *= 1 << 10
+        elif str(raw).lower().rstrip("b").endswith("g"):
+            base *= 1 << 30
+        broadcast_threshold_bytes = max(base, 1)
+    RANK_ROW_BYTES = 32  # 8B id + 8B rank + row overhead, conservative
+    use_broadcast = n * RANK_ROW_BYTES <= broadcast_threshold_bytes
+
+    edges_base = g.edges.select("src", "dst").join(
+        g.out_degrees().withColumnRenamed("id", "src"), "src"
     )
+    if use_broadcast:
+        # broadcast path: the degree join's src-shuffle would leave every
+        # mega-hub's arcs in ONE partition for the rest of the run —
+        # rebalance round-robin so scan tasks are even (locality is
+        # irrelevant when ranks are broadcast).
+        edges_w = edges_base.repartition(spark_parallelism).localCheckpoint(eager=True)
+    else:
+        # co-partition path: hash-partition by src once; every iteration
+        # the rank side alone is exchanged to match.
+        edges_w = edges_base.repartition(spark_parallelism, "src").localCheckpoint(
+            eager=True
+        )
 
     def initial() -> DataFrame:
         return g.nodes().select("id", F.lit(1.0 / n).alias("rank"))
@@ -81,14 +107,16 @@ def pagerank(
         # aggregated exchange (Catalyst reuses it) instead of a second
         # scan, and folded in via a 1-row broadcast cross-join.
         # After localCheckpoint the rank DataFrame is a LogicalRDD with no
-        # size statistics, so Catalyst would silently fall back to a
+        # size statistics, so Catalyst left alone would fall back to a
         # sort-merge join that reshuffles the whole edge table every
-        # round.  Broadcast the rank side explicitly while it fits (n
-        # rows × ~24 B); beyond that, a real deployment buckets edges_w
-        # by src so the SMJ shuffles only ranks.
+        # round.  Below the (memory-derived) threshold the rank side is
+        # broadcast explicitly; above it, the shuffle-hash hint + the
+        # pre-partitioned edge table make each round exchange only ranks.
         rank_side = ranks.select(F.col("id").alias("src"), "rank")
-        if n <= 20_000_000:
+        if use_broadcast:
             rank_side = F.broadcast(rank_side)
+        else:
+            rank_side = rank_side.hint("shuffle_hash")
         contribs = (
             edges_w.join(rank_side, "src")
             .groupBy(F.col("dst").alias("id"))

@@ -53,6 +53,35 @@ def graph_stats(g: Graph) -> dict:
         .distinct()
         .count()
     )
+    # successor-gap stats (the reference's `.stats` successor-gap report,
+    # Stats.java:96 / BVGraph residual statistics): per-node sorted
+    # successor deltas, aggregated without materializing per-gap rows —
+    # the array expressions stay inside whole-stage codegen.
+    adj = g.adjacency()
+    gaps = adj.select(
+        F.aggregate(
+            F.zip_with(
+                F.slice("dsts", 2, F.size("dsts") - 1),
+                F.slice("dsts", 1, F.size("dsts") - 1),
+                lambda cur, prev: cur - prev,
+            ),
+            F.struct(
+                F.lit(0).cast("long").alias("s"),
+                F.lit(0).cast("long").alias("c"),
+                F.lit(0).cast("long").alias("mx"),
+            ),
+            lambda acc, gp: F.struct(
+                (acc["s"] + gp).alias("s"),
+                (acc["c"] + 1).alias("c"),
+                F.greatest(acc["mx"], gp).alias("mx"),
+            ),
+        ).alias("gs")
+    ).agg(
+        F.sum(F.col("gs.s")).alias("gap_sum"),
+        F.sum(F.col("gs.c")).alias("gap_cnt"),
+        F.max(F.col("gs.mx")).alias("gap_max"),
+    ).first()
+    gap_cnt = int(gaps["gap_cnt"] or 0)
     stats = {
         "nodes": n,
         "arcs": int(m),
@@ -65,7 +94,26 @@ def graph_stats(g: Graph) -> dict:
         "min_indegree": int(i["minindeg"] or 0),
         "max_indegree": int(i["maxindeg"] or 0),
         "avg_outdegree": float(m) / n if n else 0.0,
+        "successor_avg_gap": (float(gaps["gap_sum"]) / gap_cnt) if gap_cnt else 0.0,
+        "successor_max_gap": int(gaps["gap_max"] or 0),
     }
     edges.unpersist()
     outdeg.unpersist()
     return stats
+
+
+def component_size_stats(components: DataFrame) -> dict:
+    """Size distribution of a component labelling — the ``Stats`` wiring
+    of SCC/WCC sizes (``Stats.java`` component-size report): count,
+    largest, and the size histogram head."""
+    sizes = components.groupBy("comp").agg(F.count("*").alias("size"))
+    agg = sizes.agg(
+        F.count("*").alias("n_components"),
+        F.max("size").alias("largest"),
+        F.avg("size").alias("avg_size"),
+    ).first()
+    return {
+        "n_components": int(agg["n_components"] or 0),
+        "largest_component": int(agg["largest"] or 0),
+        "avg_component_size": float(agg["avg_size"] or 0.0),
+    }

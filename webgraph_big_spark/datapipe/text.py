@@ -90,6 +90,8 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         + F.lit(0.4) * (stop / n)
         + F.lit(0.3) * (uniq / n)
     )
+    # empty documents score 0, not NULL (guard the n=0 division)
+    score = F.when(n == 0, F.lit(0.0)).otherwise(score)
     return docs.select(F.col(id_col), F.round(score, rnd).alias("quality"))
 
 

@@ -88,16 +88,41 @@ def assign_dense_ids(symbols: DataFrame, col: str = "symbol") -> DataFrame:
     the ``Id2NodeMap`` analogue (``ScatteredArcsASCIIGraph.java:155``)
     with deterministic (order-independent) numbering.
 
-    Note: the single-partition window is over the *vocabulary*, not the
-    corpus; at 10¹² files the vocabulary is still ~10⁹ rows, where the
-    scale path is ``zipWithIndex``-style: rank = partition offset (from a
-    sorted repartitionByRange) + intra-partition row_number.  The
-    expression below keeps the semantics; Spark executes it as one sort.
+    Ranks come from :func:`webgraph_big_spark.functions.global_rank`
+    (range shuffle + per-partition offsets) — at a 10⁹-row vocabulary
+    this is #partitions parallel sorts, not one single-task global
+    ``Window.orderBy``."""
+    from webgraph_big_spark.functions import global_rank
+
+    uniq = symbols.select(F.col(col).alias("symbol")).distinct()
+    return global_rank(uniq, ["symbol"], out="id")
+
+
+def from_url_arcs(urls: DataFrame, arcs: DataFrame) -> tuple[Graph, DataFrame]:
+    """URL-keyed ingestion — the ``webbase/Converter`` analogue
+    (``webbase/Converter.java:38``: URL lines + CRC map → BVGraph).
+
+    ``urls``: one column ``url`` (the node universe, any order);
+    ``arcs``: columns ``src_url, dst_url``.  URLs get dense long ids by
+    sorted order (:func:`assign_dense_ids` — replacing Converter's CRC64
+    hash map with a deterministic order-based map, collision-free by
+    construction), arcs whose endpoints are not in the universe are
+    dropped (Converter skips unresolvable CRCs the same way).  Returns
+    (graph, id_map(symbol=url, id)).
     """
-    w = Window.orderBy(col)
-    return symbols.select(
-        F.col(col).alias("symbol"), (F.row_number().over(w) - 1).cast("long").alias("id")
+    id_map = assign_dense_ids(urls.select(F.col("url").alias("symbol")))
+    edges = (
+        arcs.join(
+            F.broadcast(id_map.withColumnRenamed("symbol", "src_url")), "src_url"
+        )
+        .withColumnRenamed("id", "src")
+        .join(F.broadcast(id_map.withColumnRenamed("symbol", "dst_url")), "dst_url")
+        .withColumnRenamed("id", "dst")
+        .select("src", "dst")
+        .distinct()
     )
+    n = id_map.count()
+    return Graph(edges, num_nodes=n), id_map
 
 
 def build_graph(repos: DataFrame) -> tuple[Graph, DataFrame]:

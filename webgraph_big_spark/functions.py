@@ -6,7 +6,8 @@ built-in Spark SQL expression (whole-stage codegen, no Python).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 # TypedGraph bit packing (typed/TypedGraph.java:48-62): a node is a
 # 16-bit type ⊕ 48-bit per-type id packed into one long.
@@ -42,8 +43,148 @@ def stable_long_hash(col: Column, bits: int = 48) -> Column:
     return F.conv(F.substring(F.md5(col), 1, k), 16, 10).cast("long")
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Scalable global 0-based rank by ``order_cols`` (which must be a
+    UNIQUE key) — the ``zipWithIndex`` pattern replacing single-task
+    ``Window.orderBy`` sorts in dense-id assignment / renumbering.
+
+    Plan: one range shuffle (``repartitionByRange`` + intra-partition
+    sort), a tiny per-partition count collect, a driver-side cumulative
+    offset (≤ #partitions rows), then offset + intra-partition position
+    via one Arrow-batched ``mapInPandas`` counter.  No stage ever sorts
+    more than one partition's rows; at 10⁹ ids this is #partitions
+    parallel sorts instead of one global single-task sort.
+
+    Rank values are independent of where the (sampled) range boundaries
+    fall because ``order_cols`` is unique — document/enforce uniqueness
+    upstream.
+    """
+    import pandas as pd  # local: keep module import light
+
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    arranged = (
+        df.repartitionByRange(partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # materialize ONCE: the range boundaries are sampled, so the
+        # count job and the position job must see the same partitioning
+        .localCheckpoint(eager=True)
+    )
+    # per-partition local position, Arrow-batched, no shuffle
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(arranged.schema.fields) + [T.StructField("_pos", T.LongType())]
+    )
+
+    def add_pos(it):
+        seen = 0
+        for pdf in it:
+            pdf = pdf.assign(_pos=range(seen, seen + len(pdf)))
+            seen += len(pdf)
+            yield pdf
+
+    with_pos = arranged.mapInPandas(add_pos, schema=out_schema)
+    counts = (
+        arranged.groupBy("_pid").count().collect()
+    )  # ≤ `partitions` rows on the driver
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    return (
+        with_pos.join(off_df, "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_pos")).cast("long"))
+        .drop("_pid", "_pos", "_off")
+    )
+
+
 def url_host(url: Column) -> Column:
     """URL → host — the ``BuildHostMap`` key (``BuildHostMap.java:75-96``).
-    ``parse_url`` is JVM-side; top-private-domain reduction would need a
-    public-suffix table joined afterwards."""
+    ``parse_url`` is JVM-side; for the top-private-domain variant see
+    :func:`top_private_domain`."""
     return F.parse_url(url, F.lit("HOST"))
+
+
+# A small built-in public-suffix list (the reference's topPrivateDomain
+# mode relies on Guava's bundled copy of publicsuffix.org,
+# BuildHostMap.java:87-96).  Production deployments pass the full list.
+DEFAULT_PUBLIC_SUFFIXES = [
+    "com", "org", "net", "edu", "gov", "io", "dev", "app",
+    "co.uk", "ac.uk", "org.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "co.in", "co.kr", "com.mx",
+    "github.io", "blogspot.com",
+    "de", "fr", "it", "nl", "es", "ru", "cn", "jp", "uk", "us", "eu",
+]
+
+
+def top_private_domain(
+    hosts: DataFrame, suffixes: list[str] | None = None, host_col: str = "host"
+) -> DataFrame:
+    """host → top private domain — ``BuildHostMap``'s ``topPrivateDomain``
+    mode (``BuildHostMap.java:87-96``).
+
+    For each host, the LONGEST matching public suffix (by label count)
+    is found via an explode-of-suffix-candidates + broadcast join (all
+    JVM-side: a host with k labels yields k candidate suffixes), and the
+    TPD is the label immediately before it plus the suffix.  Hosts
+    matching no suffix (or equal to a bare suffix) map to themselves —
+    Guava's `isUnderPublicSuffix` guard.
+
+    Returns the input plus a ``tpd`` column.
+    """
+    spark = hosts.sparkSession
+    sfx = spark.createDataFrame(
+        [(s, s.count(".") + 1) for s in (suffixes or DEFAULT_PUBLIC_SUFFIXES)],
+        "_sfx string, _sfx_labels int",
+    )
+    parts = F.split(F.col(host_col), r"\.")
+    cand = hosts.select(
+        F.col(host_col),
+        F.size(parts).alias("_n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(parts)),
+                lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+            )
+        ).alias("_pos", "_cand"),
+    )
+    matched = cand.join(
+        F.broadcast(sfx), cand["_cand"] == sfx["_sfx"]
+    ).filter(
+        # the suffix must be proper (at least one label before it)
+        F.col("_n") > F.col("_sfx_labels")
+    )
+    w = Window.partitionBy(host_col).orderBy(F.desc("_sfx_labels"))
+    best = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(host_col),
+            F.array_join(
+                F.slice(
+                    F.split(F.col(host_col), r"\."),
+                    F.col("_n") - F.col("_sfx_labels"),
+                    F.col("_sfx_labels") + 1,
+                ),
+                ".",
+            ).alias("tpd"),
+        )
+    )
+    return hosts.join(best, host_col, "left").withColumn(
+        "tpd", F.coalesce("tpd", F.col(host_col))
+    )

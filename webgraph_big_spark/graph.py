@@ -250,72 +250,127 @@ class Graph:
     # ------------------------------------------------------------------
     # storage (BVGraph.store / load analogue)
     # ------------------------------------------------------------------
-    def store(self, basename: str, buckets: int = 32) -> None:
+    def adjacency_labelled(self) -> DataFrame:
+        """CSR blocks with aligned label arrays: (src, dsts, outdeg,
+        lbl_<c> for every label column), successor-sorted.  The analogue
+        of an ``ArcLabelledImmutableGraph`` node record
+        (``labelling/BitStreamArcLabelledImmutableGraph.java:147``:
+        labels are stored arc-ordered alongside the successor stream)."""
+        label_cols = [c for c in self.edges.columns if c not in ("src", "dst")]
+        arr = F.sort_array(
+            F.collect_list(F.struct(F.col("dst"), *[F.col(c) for c in label_cols]))
+        )
+        out = self.edges.dropDuplicates(["src", "dst"]).groupBy("src").agg(arr.alias("_a"))
+        def _field(name):
+            # NB: a `lambda x, c=c` default-arg closure would have a
+            # 2-parameter signature, which PySpark interprets as the
+            # (element, index) lambda form — hence this factory.
+            return lambda x: x.getField(name)
+
+        cols = [
+            F.col("src"),
+            F.transform("_a", _field("dst")).alias("dsts"),
+            F.size("_a").alias("outdeg"),
+            *[F.transform("_a", _field(c)).alias(f"lbl_{c}") for c in label_cols],
+        ]
+        return out.select(*cols)
+
+    def store(self, basename: str, buckets: int = 32) -> dict:
         """Persist as a compressed CSR parquet table + metadata sidecar.
 
-        Analogue of ``BVGraph.store`` (``BVGraph.java:1641``): the write
-        repartitions by ``src`` range (so each file covers a contiguous,
-        min/max-prunable node range — the role of ``.offsets`` +
-        Elias–Fano, ``BVGraph.java:306-315``), sorts within partitions,
-        and stores *gap-encoded* successor arrays (first element absolute,
-        rest deltas−1; ``BVGraph.java:141-223``'s residual coding), which
-        parquet's delta/dictionary codecs then compress.  Node/arc counts
-        and build parameters go to ``meta.json`` — the ``.properties``
-        analogue (``ImmutableGraph.java:162-177``).
+        Analogue of ``BVGraph.store`` (``BVGraph.java:1641``) and, when
+        label columns are present, of ``BVGraph.storeLabelled``
+        (``BVGraph.java:1735``): the write repartitions by ``src`` range
+        (so each file covers a contiguous, min/max-prunable node range —
+        the role of ``.offsets`` + Elias–Fano, ``BVGraph.java:306-315``),
+        sorts within partitions, and stores *gap-encoded* successor
+        arrays (first element absolute, rest deltas−1;
+        ``BVGraph.java:141-223``'s residual coding) plus successor-aligned
+        label arrays, which parquet's delta/dictionary codecs compress.
+
+        ``meta.json`` — the ``.properties`` analogue
+        (``ImmutableGraph.java:162-177``) — records node/arc counts,
+        label columns, AND the size accounting the reference's
+        ``.properties`` stats assert (``BVGraph.java:1912-1931``,
+        ``BVGraphTest.java:68-76``): total bytes, bits/link, bits/node,
+        per-file bytes.  Returns the meta dict.
         """
-        adj = self.adjacency()
-        gaps = adj.select(
-            "src",
-            "outdeg",
-            F.concat(
-                F.slice("dsts", 1, 1),
-                F.zip_with(
-                    F.slice("dsts", 2, F.size("dsts") - 1),
-                    F.slice("dsts", 1, F.size("dsts") - 1),
-                    lambda cur, prev: cur - prev - 1,
-                ),
-            ).alias("dst_gaps"),
-        )
+        label_cols = [c for c in self.edges.columns if c not in ("src", "dst")]
+        adj = self.adjacency_labelled() if label_cols else self.adjacency()
+        gaps_col = F.concat(
+            F.slice("dsts", 1, 1),
+            F.zip_with(
+                F.slice("dsts", 2, F.size("dsts") - 1),
+                F.slice("dsts", 1, F.size("dsts") - 1),
+                lambda cur, prev: cur - prev - 1,
+            ),
+        ).alias("dst_gaps")
+        keep = ["src", "outdeg", gaps_col] + [F.col(f"lbl_{c}") for c in label_cols]
+        adj_dir = os.path.join(basename, "adj")
         (
-            gaps.repartitionByRange(buckets, "src")
+            adj.select(*keep)
+            .repartitionByRange(buckets, "src")
             .sortWithinPartitions("src")
             .write.mode("overwrite")
-            .parquet(os.path.join(basename, "adj"))
+            .parquet(adj_dir)
         )
         n, m = self.num_nodes(), self.num_arcs()
+        per_file = {}
+        for root, _dirs, files in os.walk(adj_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    per_file[f] = os.path.getsize(os.path.join(root, f))
+        total_bytes = sum(per_file.values())
         meta = {
-            "format": "wbs-csr-gap-v1",
+            "format": "wbs-csr-gap-v2",
             "nodes": n,
             "arcs": m,
             "buckets": buckets,
+            "label_cols": label_cols,
             "graphclass": "webgraph_big_spark.Graph",
+            # the BVGraph `.properties` bit-accounting analogue
+            "bytes": total_bytes,
+            "bits_per_link": (total_bytes * 8.0 / m) if m else 0.0,
+            "bits_per_node": (total_bytes * 8.0 / n) if n else 0.0,
+            "files": per_file,
         }
         with open(os.path.join(basename, "meta.json"), "w") as fh:
             json.dump(meta, fh)
+        return meta
 
     @classmethod
     def load(cls, spark: SparkSession, basename: str) -> "Graph":
         """Load a stored graph — ``ImmutableGraph.load`` dispatch
         (``ImmutableGraph.java:674-713``), reading ``meta.json`` instead
-        of reflecting on ``.properties``."""
+        of reflecting on ``.properties``.
+
+        Gap decode is positional and linear: ``posexplode`` the gap
+        array, then a per-``src`` running sum reconstructs absolute
+        successors (dst_i = Σ_{j≤i} gap_j + i) — O(d) per row, hub-safe,
+        unlike an array-accumulator fold which copies O(d²).  Label
+        arrays (labelled graphs) are decoded by position in the same
+        pass."""
         with open(os.path.join(basename, "meta.json")) as fh:
             meta = json.load(fh)
         gaps = spark.read.parquet(os.path.join(basename, "adj"))
-        # decode gaps back to absolute sorted successor arrays, then to arcs
-        dsts = F.transform(
-            F.aggregate(
-                F.slice("dst_gaps", 2, F.size("dst_gaps") - 1),
-                F.array(F.element_at("dst_gaps", 1)),
-                lambda acc, g: F.concat(
-                    acc, F.array(F.element_at(acc, -1) + g + 1)
-                ),
-            ),
-            lambda x: x,
+        label_cols = meta.get("label_cols", [])
+        exploded = gaps.filter(F.size("dst_gaps") > 0).select(
+            "src",
+            *[F.col(f"lbl_{c}") for c in label_cols],
+            F.posexplode("dst_gaps").alias("pos", "gap"),
         )
-        edges = gaps.filter(F.size("dst_gaps") > 0).select(
-            "src", F.explode(dsts).alias("dst")
+        w = Window.partitionBy("src").orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
         )
-        return cls(edges, num_nodes=meta["nodes"])
+        decoded = exploded.select(
+            "src",
+            (F.sum("gap").over(w) + F.col("pos")).alias("dst"),
+            *[
+                F.element_at(F.col(f"lbl_{c}"), F.col("pos") + 1).alias(c)
+                for c in label_cols
+            ],
+        )
+        return cls(decoded, num_nodes=meta["nodes"])
 
     # convenience -------------------------------------------------------
     def cache(self) -> "Graph":

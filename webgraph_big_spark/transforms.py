@@ -107,13 +107,16 @@ def union_labelled(g0: Graph, g1: Graph, merge: dict[str, Column] | None = None)
     """Labelled union with a merge strategy for duplicate arcs.
 
     ``LabelMergeStrategy.merge(l0, l1)`` (``labelling/LabelMergeStrategy.java:28``)
-    becomes an aggregate expression per label column; the reference default
-    keep-first (``labelling/Labels.java:25``) maps to ``F.first``; pass e.g.
-    ``{"w": F.sum("w").alias("w")}`` for additive labels.
+    becomes an aggregate expression per label column; pass e.g.
+    ``{"w": F.sum("w").alias("w")}`` for additive labels.  The default is
+    ``F.min`` per label column — a *deterministic* stand-in for the
+    reference's keep-first (``labelling/Labels.java:25``): Spark's
+    ``first`` depends on partition/task order and would break
+    run-to-run reproducibility.
     """
     label_cols = [c for c in g0.edges.columns if c not in ("src", "dst")]
     if merge is None:
-        merge = {c: F.first(c).alias(c) for c in label_cols}
+        merge = {c: F.min(c).alias(c) for c in label_cols}
     both = g0.edges.unionByName(g1.edges)
     return Graph(both.groupBy("src", "dst").agg(*merge.values()))
 
@@ -182,10 +185,11 @@ def induced_subgraph(g: Graph, node_subset: DataFrame, renumber: bool = True) ->
     """
     nodes = node_subset.select("id").distinct()
     if renumber:
-        w = Window.orderBy("id")
-        remap = F.broadcast(
-            nodes.select("id", (F.row_number().over(w) - 1).cast("long").alias("to"))
-        )
+        # scalable rank (range shuffle + partition offsets), NOT a
+        # single-task global window — see functions.global_rank
+        from webgraph_big_spark.functions import global_rank
+
+        remap = F.broadcast(global_rank(nodes, ["id"], out="to"))
         return map_nodes(g, remap)
     b = F.broadcast(nodes)
     e = (
@@ -247,10 +251,78 @@ def compose_semiring(
 def relabel_by_order(g: Graph, order_of: DataFrame) -> tuple[Graph, DataFrame]:
     """Renumber nodes by an ordering — the layout-optimizing permutations
     of the reference (``Transform.java:1940`` gray, ``:1988`` random,
-    ``:2013`` lex).  ``order_of`` is (id, key); new id = rank of key.
-    Returns (relabeled graph, permutation DataFrame (id, to))."""
-    w = Window.orderBy("key", "id")
-    perm = order_of.select(
-        "id", (F.row_number().over(w) - 1).cast("long").alias("to")
+    ``:2013`` lex).  ``order_of`` is (id, key); new id = rank of
+    (key, id) — id as tiebreak makes the permutation total and
+    deterministic.  Returns (relabeled graph, permutation (id, to)).
+
+    The rank is computed with :func:`functions.global_rank` (range
+    shuffle + partition offsets) — parallel at 10⁹ nodes, not a
+    single-task ``Window.orderBy`` sort."""
+    from webgraph_big_spark.functions import global_rank
+
+    perm = global_rank(order_of, ["key", "id"], out="to").select("id", "to")
+    return map_nodes(g, perm, broadcast_map=False), perm
+
+
+# ---------------------------------------------------------------------------
+# endogenous layout keys (gray / lex / random) + measured effect
+# ---------------------------------------------------------------------------
+
+# encoding constants for the Gray key (must exceed any node id)
+GRAY_MAXV = 1 << 61
+GRAY_INF = 1 << 62
+
+
+def _adjacency_keys(g: Graph) -> DataFrame:
+    """(id, dsts): every node with its sorted successor array (empty for
+    sinks) — the comparator input of the layout permutations."""
+    adj = g.adjacency().select(F.col("src").alias("id"), "dsts")
+    return g.nodes().join(adj, "id", "left").select(
+        "id",
+        F.coalesce("dsts", F.array().cast("array<long>")).alias("dsts"),
     )
-    return map_nodes(g, perm), perm
+
+
+def lex_key(g: Graph) -> DataFrame:
+    """(id, key) for ``Transform.lexicographicalPermutation``
+    (``Transform.java:2017-2032``): compare successor lists element-wise
+    ascending, shorter-prefix first — exactly Spark's (and DuckDB's)
+    native array ordering, so the key IS the sorted successor array."""
+    return _adjacency_keys(g).select("id", F.col("dsts").alias("key"))
+
+
+def gray_key(g: Graph) -> DataFrame:
+    """(id, key) for ``Transform.grayCodePermutation``
+    (``Transform.java:1946-1975``): Gray-code order over adjacency rows.
+
+    The reference comparator walks both successor lists ascending with a
+    running parity; at the first difference, even parity compares
+    *descending*, odd parity ascending, and an exhausted list sorts
+    first (even parity) or last (odd).  Encoded as a plain array key:
+    element i ↦ ``GRAY_MAXV − dst_i`` when i is even (descending slots),
+    ``dst_i`` when odd, plus a ``GRAY_INF`` sentinel when the length is
+    odd (so a prefix at odd parity sorts *after* its extensions).
+    Ordinary lexicographic array comparison of these keys reproduces the
+    reference's Gray order exactly.
+    """
+    enc = F.transform(
+        "dsts",
+        lambda d, i: F.when(i % 2 == 0, F.lit(GRAY_MAXV) - d).otherwise(d),
+    )
+    key = F.when(
+        F.size("dsts") % 2 == 1,
+        F.concat(enc, F.array(F.lit(GRAY_INF).cast("long"))),
+    ).otherwise(enc)
+    return _adjacency_keys(g).select("id", key.alias("key"))
+
+
+def random_key(g: Graph, seed: int = 0) -> DataFrame:
+    """(id, key) for ``Transform.randomPermutation``
+    (``Transform.java:1988``): a seeded engine-portable hash of the id
+    (md5-prefix, ties broken by id in :func:`relabel_by_order`)."""
+    from webgraph_big_spark.functions import stable_long_hash
+
+    key = stable_long_hash(
+        F.concat(F.lit(f"{seed}:"), F.col("id").cast("string"))
+    )
+    return g.nodes().select("id", key.alias("key"))

@@ -82,12 +82,18 @@ def test_hyperball_registers_match_oracle(spark):
     assert got == want
 
 
-def test_hyperball_salted_merge_identical(spark):
-    edges = synth.erdos_renyi(30, 0.1, seed=7)
-    g = _g(spark, edges, 30)
-    plain = sorted(map(tuple, hyperball_registers(g, 2).collect()))
-    salted = sorted(map(tuple, hyperball_registers(g, 2, salt=4).collect()))
-    assert plain == salted
+def test_hyperball_hub_merge(spark):
+    # a 2000-in-degree hub: the max-merge must match the oracle (the
+    # map-side-combining aggregate shape means no group ever gathers
+    # the full fan-in on one reducer)
+    edges = [(0, i) for i in range(1, 2001)]  # counters flow dst→src
+    g = _g(spark, edges, 2001)
+    got = {
+        r["id"]: [int(v) for v in r["regs_csv"].split(",")]
+        for r in hyperball_registers(g, 1).collect()
+    }
+    want = _hll_regs_oracle(edges, range(2001), 1)
+    assert got == want
 
 
 def test_hyperball_systolic_converges_to_fixpoint(spark):

@@ -87,8 +87,9 @@ def main() -> None:
     edges_b = (
         g1.edges.join(g1.out_degrees().withColumnRenamed("id", "src"), "src")
         .repartition(8, "src")
-        .localCheckpoint(eager=True)
+        .cache()
     )
+    edges_b.count()
     contribs_b = (
         edges_b.join(
             ranks.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"), "src"
@@ -99,8 +100,9 @@ def main() -> None:
     sections.append(
         (
             "PageRank round, co-partitioned path (n beyond broadcast)",
-            "Expect ShuffledHashJoin with NO Exchange on the edge side (its hash "
-            "partitioning survives localCheckpoint) — only the rank side exchanges.",
+            "Expect ShuffledHashJoin reading the edge side from InMemoryTableScan "
+            "with NO Exchange above it (the cache preserves the src hash "
+            "partitioning) — only the rank side exchanges per iteration.",
             contribs_b,
         )
     )
@@ -120,25 +122,20 @@ def main() -> None:
         )
     )
 
-    # 7. HyperBall merge round: JVM collect_list gather + one Arrow UDF
-    from webgraph_big_spark.algorithms.hyperball import _init_state, _merge_udf
+    # 7. HyperBall merge round: 64 built-in max aggregates — pure JVM
+    from webgraph_big_spark.algorithms.hyperball import _RCOLS, _init_state
 
     state = _init_state(g1).localCheckpoint(eager=True)
-    msgs = (
-        g1.edges.join(state.withColumnRenamed("id", "dst"), "dst")
-        .select(F.col("src").alias("id"), "regs")
+    msgs = g1.edges.join(state.withColumnRenamed("id", "dst"), "dst").select(
+        F.col("src").alias("id"), *_RCOLS
     )
-    merged = (
-        msgs.groupBy("id")
-        .agg(F.collect_list("regs").alias("rl"))
-        .select("id", _merge_udf("rl").alias("regs"))
-    )
+    merged = msgs.groupBy("id").agg(*[F.max(c).alias(c) for c in _RCOLS])
     sections.append(
         (
             "HyperBall merge round",
-            "Expect ObjectHashAggregate (collect_list) partial/final around the id "
-            "shuffle, then ONE ArrowEvalPython for the register max-merge — no "
-            "per-group Python (FlatMapGroupsInPandas must NOT appear).",
+            "Expect HashAggregate partial/final around ONE id shuffle (map-side "
+            "combine collapses hub fan-in before the exchange) and zero Python "
+            "operators — no ArrowEvalPython, no FlatMapGroupsInPandas.",
             merged,
         )
     )

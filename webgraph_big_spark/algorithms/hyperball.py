@@ -9,31 +9,34 @@ and the per-node ball-size deltas accumulate into the neighbourhood
 function and the geometric centralities (``algo/HyperBall.java:245``:
 harmonic / closeness / Lin / reachable).
 
-Spark design (production path):
+Spark design (production path — 100% JVM in the hot loop):
 
-- state(id, regs: binary, est: double) — one 2^b-byte register vector
-  per node, estimate cached so per-round NF/centrality updates are
-  *incremental* (only touched nodes contribute deltas).
-- per round, messages flow only from nodes whose counter changed last
-  round (systolic): ``edges ⨝ changed(dst)`` → (src, regs); the merge is
-  ``groupBy(src).agg(collect_list(regs))`` (JVM-side) followed by ONE
-  scalar Arrow UDF that max-merges each row's list with
-  ``np.maximum.reduceat`` over the concatenated buffer — one Python call
-  per Arrow batch, zero per-row Python loops.
-- untouched nodes are carried over with no Python at all; termination is
-  ``changed = ∅`` (the natural systolic fixpoint).
+- state(id, r0..r63: int, est: double): the 2^b registers are COLUMNS,
+  not a packed blob, so the per-round merge is 64 built-in ``F.max``
+  aggregates.  That buys the two properties a packed-binary +
+  ``collect_list`` + Arrow-UDF merge cannot have:
+  * **map-side combine** — a 10⁸-in-degree hub receives one partial row
+    per upstream task, never 10⁸ rows in one group (no OOM, no salting);
+  * **zero Python** — merge, changed-detection, and the HLL estimator
+    (Σ 2^-r, zero count, small-range correction) are all codegen'd
+    column expressions.
+- messages flow only from nodes whose counter changed last round
+  (systolic); termination is ``changed = ∅`` (the natural fixpoint).
+- NF / centrality updates are *incremental*: only touched nodes
+  contribute (est − old_est) deltas each round.
 
 The register hash is the engine-portable md5-prefix hash
 (``functions.stable_long_hash``), so the full register state after t
 rounds is bit-reproducible in ANSI SQL — the driver gate compares the
-merged registers themselves (integers, no float tolerance needed).
+merged registers themselves (integers, no float tolerance), and the
+unrolled DuckDB oracle below is a 1:1 mirror of the Spark plan.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+import math
+
+from pyspark.sql import DataFrame, functions as F
 
 from webgraph_big_spark.functions import stable_long_hash
 from webgraph_big_spark.graph import Graph
@@ -73,45 +76,7 @@ _ALPHA_64 = 0.709  # HLL bias constant for m=64
 HASH_BITS = 48  # md5-prefix hash width (functions.stable_long_hash)
 W_BITS = HASH_BITS - LOG2M  # 42 pattern bits → rho ∈ [1, 43]
 
-
-def _estimate_batch(arr: np.ndarray) -> np.ndarray:
-    """Vectorized HLL estimator with small-range correction.
-
-    ``arr`` is (rows, P) uint8; returns (rows,) float64."""
-    z = 1.0 / np.sum(np.exp2(-arr.astype(np.float64)), axis=1)
-    e = _ALPHA_64 * P * P * z
-    zeros = np.sum(arr == 0, axis=1)
-    small = (e <= 2.5 * P) & (zeros > 0)
-    with np.errstate(divide="ignore"):
-        lin = P * np.log(P / np.maximum(zeros, 1))
-    return np.where(small, lin, e)
-
-
-@F.pandas_udf(T.DoubleType())
-def _est_udf(regs: pd.Series) -> pd.Series:
-    arr = np.frombuffer(b"".join(regs), dtype=np.uint8).reshape(-1, P)
-    return pd.Series(_estimate_batch(arr))
-
-
-_MERGE_SCHEMA = T.BinaryType()
-
-
-@F.pandas_udf(_MERGE_SCHEMA)
-def _merge_udf(reg_lists: pd.Series) -> pd.Series:
-    """list<binary> → binary: element-wise max over each row's register
-    vectors.  One ``np.maximum.reduceat`` per Arrow batch — the
-    vectorized analogue of the reference's broadword ``max``
-    (``algo/HyperBall.java:108``)."""
-    if len(reg_lists) == 0:
-        return pd.Series([], dtype=object)
-    lens = np.fromiter((len(l) for l in reg_lists), dtype=np.int64, count=len(reg_lists))
-    flat = np.frombuffer(
-        b"".join(bytes(b) for lst in reg_lists for b in lst), dtype=np.uint8
-    ).reshape(-1, P)
-    starts = np.zeros(len(lens), dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
-    merged = np.maximum.reduceat(flat, starts, axis=0)
-    return pd.Series([row.tobytes() for row in merged])
+_RCOLS = [f"r{k}" for k in range(P)]
 
 
 def init_register_cols():
@@ -130,81 +95,83 @@ def init_register_cols():
     return j.alias("j"), rho.cast("int").alias("rho")
 
 
+# NB: all multi-register expressions below are built as SQL STRINGS and
+# evaluated with one selectExpr/F.expr call.  Building 64-column trees
+# through the Column API costs one py4j round-trip per operator (~5 ms
+# each ⇒ seconds of pure driver overhead per loop round); a string is
+# ONE call and parses JVM-side.
+
+_LN2 = math.log(2.0)
+_ZSUM = " + ".join(f"exp({-_LN2} * r{k})" for k in range(P))
+_ZEROS = " + ".join(f"(CASE WHEN r{k} = 0 THEN 1 ELSE 0 END)" for k in range(P))
+_EST_EXPR = (
+    f"CASE WHEN ({_ALPHA_64 * P * P} / _z) <= {2.5 * P} AND _zeros > 0 "
+    f"THEN {float(P)} * ln({float(P)} / CAST(_zeros AS DOUBLE)) "
+    f"ELSE ({_ALPHA_64 * P * P} / _z) END"
+)
+
+
+def _with_est(df: DataFrame) -> DataFrame:
+    """Append the HLL estimate column (α·m²/Σ2^-r with small-range
+    correction) — pure codegen'd SQL expressions."""
+    keep = [c for c in df.columns]
+    return df.selectExpr(
+        *keep, f"({_ZSUM}) AS _z", f"({_ZEROS}) AS _zeros"
+    ).selectExpr(*keep, f"{_EST_EXPR} AS est")
+
+
 def _init_state(g: Graph) -> DataFrame:
-    """state(id, regs): each node's counter containing just {id}.
-
-    The register vector is built JVM-side as an array (one slot set to
-    rho) and packed to binary by a single vectorized UDF pass."""
+    """state(id, r0..r63): each node's counter containing just {id}."""
     jrho = g.nodes().select("id", *init_register_cols())
-
-    @F.pandas_udf(T.BinaryType())
-    def pack(j: pd.Series, rho: pd.Series) -> pd.Series:
-        n = len(j)
-        arr = np.zeros((n, P), dtype=np.uint8)
-        arr[np.arange(n), j.to_numpy()] = rho.to_numpy()
-        return pd.Series([row.tobytes() for row in arr])
-
-    return jrho.select("id", pack("j", "rho").alias("regs"))
-
-
-def _hyperball_loop(g: Graph, t_max: int | None, on_round, salt: int | None = None):
-    """Shared systolic driver.  ``on_round(t, state, touched)`` is called
-    after each merge with the full new state and the touched-delta frame
-    (id, est, old_est); returns when no counter changed or t_max hit.
-
-    ``salt``: optional two-phase merge for mega-hub indegrees — phase 1
-    max-merges within ``salt`` deterministic sub-groups per node (caps
-    any collect_list at ~indeg/salt), phase 2 merges the ≤ salt partials
-    (the register-merge analogue of skew.salted_sum)."""
-    edges = g.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    state = (
-        _init_state(g)
-        .withColumn("est", _est_udf("regs"))
-        .localCheckpoint(eager=True)
+    return jrho.selectExpr(
+        "id", *[f"CASE WHEN j = {k} THEN rho ELSE 0 END AS r{k}" for k in range(P)]
     )
+
+
+def _hyperball_loop(g: Graph, t_max: int | None, on_round):
+    """Shared systolic driver.  ``on_round(t, state, touched,
+    new_changed)`` is called after each merge; the loop ends when no
+    counter changed or t_max is hit.  Everything here is built-in
+    column expressions — max-merge with map-side combine, greatest()
+    against the old state, 64-way inequality for change detection."""
+    edges = g.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    state = _with_est(_init_state(g)).localCheckpoint(eager=True)
     changed = state.select("id")  # round 0: everything is new
     t = 0
+    # changed ⇔ some incoming max exceeds the old register
+    chg_expr = " OR ".join(f"coalesce(m{k}, 0) > o{k}" for k in range(P))
+    merged_exprs = [
+        f"greatest(o{k}, coalesce(m{k}, 0)) AS r{k}" for k in range(P)
+    ]
     while t_max is None or t < t_max:
         t += 1
         # systolic: only counters that changed last round are propagated;
-        # regs travel dst→src (x absorbs its successors' balls).
+        # regs travel dst→src (x absorbs its successors' balls).  The
+        # groupBy-max gets partial aggregation: hub fan-in collapses
+        # map-side, one partial row per task reaches the reducer.
         msgs = (
             edges.join(changed.withColumnRenamed("id", "dst"), "dst")
             .join(
-                state.select(F.col("id").alias("dst"), F.col("regs").alias("mregs")),
+                state.selectExpr("id AS dst", *_RCOLS),
                 "dst",
             )
-            .select(F.col("src").alias("id"), F.col("mregs").alias("regs"))
+            .selectExpr("src AS id", *_RCOLS)
         )
-        if salt:
-            partial = (
-                msgs.withColumn("_s", F.pmod(F.xxhash64("regs"), F.lit(salt)))
-                .groupBy("id", "_s")
-                .agg(F.collect_list("regs").alias("rl"))
-                .select("id", _merge_udf("rl").alias("regs"))
-            )
-            gathered = partial.groupBy("id").agg(F.collect_list("regs").alias("rl"))
-        else:
-            gathered = msgs.groupBy("id").agg(F.collect_list("regs").alias("rl"))
-        touched = (
-            gathered.join(
-                state.select("id", F.col("regs").alias("old"), F.col("est").alias("old_est")),
-                "id",
-            )
-            .select(
-                "id",
-                _merge_udf(F.concat(F.col("rl"), F.array(F.col("old")))).alias("regs"),
-                "old",
-                "old_est",
-            )
-            .withColumn("est", _est_udf("regs"))
-            .localCheckpoint(eager=True)
+        gathered = msgs.groupBy("id").agg(
+            *[F.expr(f"max(r{k})").alias(f"m{k}") for k in range(P)]
         )
-        new_changed = touched.filter(F.col("regs") != F.col("old")).select("id")
+        old_named = state.selectExpr(
+            "id", *[f"r{k} AS o{k}" for k in range(P)], "est AS old_est"
+        )
+        touched = gathered.join(old_named, "id").selectExpr(
+            "id", *merged_exprs, "old_est", f"({chg_expr}) AS _chg"
+        )
+        touched = _with_est(touched).localCheckpoint(eager=True)
+        new_changed = touched.filter(F.col("_chg")).select("id")
         state = (
             state.join(touched.select("id"), "id", "left_anti")
-            .select("id", "regs", "est")
-            .unionByName(touched.select("id", "regs", "est"))
+            .select("id", *_RCOLS, "est")
+            .unionByName(touched.select("id", *_RCOLS, "est"))
             .localCheckpoint(eager=True)
         )
         n_changed = on_round(t, state, touched, new_changed)
@@ -214,7 +181,7 @@ def _hyperball_loop(g: Graph, t_max: int | None, on_round, salt: int | None = No
     return state, t
 
 
-def hyperball(g: Graph, t_max: int, salt: int | None = None) -> DataFrame:
+def hyperball(g: Graph, t_max: int) -> DataFrame:
     """(t, nf_estimate) for t = 0..t_max: approximate neighbourhood
     function.  NF updates are incremental sums of touched-node estimate
     deltas — untouched nodes cost nothing per round."""
@@ -244,12 +211,12 @@ def hyperball(g: Graph, t_max: int, salt: int | None = None) -> DataFrame:
         return n_changed
 
     if t_max == 0:
-        state0 = _init_state(g).withColumn("est", _est_udf("regs"))
+        state0 = _with_est(_init_state(g))
         nf0 = float(state0.agg(F.coalesce(F.sum("est"), F.lit(0.0))).first()[0])
         return spark.createDataFrame([(0, nf0)], "t long, nf double")
-    _hyperball_loop(g, t_max, on_round, salt=salt)
+    _hyperball_loop(g, t_max, on_round)
     if not results:  # graph with no arcs: loop did one no-op round
-        state0 = _init_state(g).withColumn("est", _est_udf("regs"))
+        state0 = _with_est(_init_state(g))
         nf[0] = float(state0.agg(F.coalesce(F.sum("est"), F.lit(0.0))).first()[0])
         results.append((0, nf[0]))
     # pad to t_max if the systolic loop converged early (NF is constant)
@@ -258,23 +225,19 @@ def hyperball(g: Graph, t_max: int, salt: int | None = None) -> DataFrame:
     return spark.createDataFrame(results, "t long, nf double")
 
 
-def hyperball_registers(g: Graph, t_max: int, salt: int | None = None) -> DataFrame:
+def hyperball_registers(g: Graph, t_max: int) -> DataFrame:
     """(id, regs_csv): the raw merged register vectors after ``t_max``
-    rounds, serialized as comma-joined decimal bytes.  Integers only —
+    rounds, serialized as comma-joined decimal values.  Integers only —
     the exactly-reproducible core the driver gate hashes against the
     unrolled SQL oracle (:func:`hyperball_registers_sql`)."""
 
     def on_round(t, state, touched, new_changed):
         return new_changed.count()
 
-    state, _ = _hyperball_loop(g, t_max, on_round, salt=salt)
-
-    @F.pandas_udf(T.StringType())
-    def to_csv(regs: pd.Series) -> pd.Series:
-        arr = np.frombuffer(b"".join(regs), dtype=np.uint8).reshape(-1, P)
-        return pd.Series([",".join(map(str, row)) for row in arr])
-
-    return state.select("id", to_csv("regs").alias("regs_csv"))
+    state, _ = _hyperball_loop(g, t_max, on_round)
+    return state.select(
+        "id", F.concat_ws(",", *[F.col(c).cast("string") for c in _RCOLS]).alias("regs_csv")
+    )
 
 
 def hyperball_centralities(
@@ -300,8 +263,7 @@ def hyperball_centralities(
         g._num_nodes,
         dense=g.dense,
     )
-    spark = g.edges.sparkSession
-    acc = [None]  # (id, harmonic, sumdist) accumulator DataFrame
+    acc = [None]  # (id, harmonic, sumdist, discounted) accumulator
 
     def on_round(t, state, touched, new_changed):
         n_changed = new_changed.count()
@@ -393,7 +355,8 @@ def register_init_sql(nodes_cte: str) -> str:
 
 def hyperball_registers_sql(edge_sql: str, t_max: int) -> str:
     """Unrolled DuckDB SQL reproducing ``hyperball_registers`` exactly:
-    64 per-register max-merge columns, t_max rounds, csv output."""
+    64 per-register max-merge columns, t_max rounds, csv output — the
+    same shape as the Spark plan (64 max aggregates + greatest)."""
     parts = [
         f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edge_sql}))",
         "nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))",

@@ -92,11 +92,14 @@ def pagerank(
         # irrelevant when ranks are broadcast).
         edges_w = edges_base.repartition(spark_parallelism).localCheckpoint(eager=True)
     else:
-        # co-partition path: hash-partition by src once; every iteration
-        # the rank side alone is exchanged to match.
-        edges_w = edges_base.repartition(spark_parallelism, "src").localCheckpoint(
-            eager=True
-        )
+        # co-partition path: hash-partition by src once.  cache(), NOT
+        # localCheckpoint: InMemoryRelation preserves the child's hash
+        # partitioning (LogicalRDD does not), so each iteration's join
+        # satisfies its distribution requirement from the cache and only
+        # the rank side is exchanged.  The plan is static (one degree
+        # join), so cache's lineage retention costs nothing per round.
+        edges_w = edges_base.repartition(spark_parallelism, "src").cache()
+        edges_w.count()  # materialize now, off the per-iteration path
 
     def initial() -> DataFrame:
         return g.nodes().select("id", F.lit(1.0 / n).alias("rank"))

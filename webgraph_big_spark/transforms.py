@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from webgraph_big_spark.graph import Graph
 

@@ -13,8 +13,9 @@ This is NOT a port: the reference is a single-JVM bit-compressed graph
 framework (ImmutableGraph / BVGraph); here every operator is expressed as
 declarative Spark DataFrame plans so Catalyst/Tungsten/AQE pick the
 physical strategy, with vectorized pandas/Arrow UDFs only where built-in
-operators cannot express the semantics (HLL register merge, CSR gap
-encoding).
+operators cannot express the semantics (media featurization, import
+extraction) — the graph algorithms, including the HyperBall register
+merge, are pure JVM expressions.
 """
 
 from webgraph_big_spark.graph import Graph  # noqa: F401

@@ -857,6 +857,7 @@ from webgraph_big_spark.algorithms.hyperball import (  # noqa: E402
     hyperball_registers,
     hyperball_registers_sql,
     hyperball_centralities,
+    hyperball_centralities_sql,
 )
 from webgraph_big_spark.algorithms.scc import (  # noqa: E402
     strongly_connected_components_fwbw,
@@ -942,9 +943,14 @@ def _r2_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hyperball_regs_g2"] = lambda spark, sf: hyperball_registers(
         load_g2(spark, sf), HB_T
     )
-    # HLL-estimated centralities: genuinely non-SQL-expressible output
-    # (float estimator over merged registers); gated rows-only, accuracy
-    # is pytest-gated against the exact oracle (tests/test_hyperball.py)
+    # reference-ctor precision knob (HyperBall.java:217 log2m): the m=16
+    # variant exercises the parameterized register width end to end
+    q["hyperball_regs_m16_g2"] = lambda spark, sf: hyperball_registers(
+        load_g2(spark, sf), HB_T, log2m=4
+    )
+    # HLL centralities: the estimator is a deterministic SQL expression,
+    # so the unrolled transpose-side register recursion + per-round est
+    # deltas reproduce it exactly (hyperball_centralities_sql)
     q["hyperball_centralities_g2"] = lambda spark, sf: hyperball_centralities(
         load_g2(spark, sf), t_max=4
     ).select("id", F.round("reachable", 3).alias("reachable"),
@@ -988,6 +994,11 @@ def _perm_sql(edge_sql: str, key_expr: str) -> str:
         "SELECT DISTINCT ps.t AS src, pd.t AS dst FROM _e0 e "
         "JOIN perm ps ON e.src = ps.id JOIN perm pd ON e.dst = pd.id"
     )
+
+
+def _lex_key_sql() -> str:
+    # reference lex comparator = every slot descending (Transform.java:2029)
+    return f"list_transform(k, x -> {tr.GRAY_MAXV} - x)"
 
 
 def _gray_key_sql() -> str:
@@ -1110,11 +1121,13 @@ def _r2_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["store_load_weighted_g1"] = _g1w_sql(0)
-    o["relabel_lex_g2"] = _perm_sql(G2_SQL, "k")
+    o["relabel_lex_g2"] = _perm_sql(G2_SQL, _lex_key_sql())
     o["relabel_gray_g2"] = _perm_sql(G2_SQL, _gray_key_sql())
     o["relabel_random_g2"] = _random_perm_sql(G2_SQL, 0)
     o["bfs_parents_g2"] = _bfs_parents_sql(G2_SQL, BFS_ROUNDS)
     o["hyperball_regs_g2"] = hyperball_registers_sql(G2_SQL, HB_T)
+    o["hyperball_regs_m16_g2"] = hyperball_registers_sql(G2_SQL, HB_T, log2m=4)
+    o["hyperball_centralities_g2"] = hyperball_centralities_sql(G2_SQL, 4)
     o["scc_fwbw_g5"] = _scc_sql(G5_SQL, 8)
     o["scc_buckets_g3"] = (
         _scc_sql(G3_SQL, SCC_T).replace(

@@ -247,6 +247,18 @@ def _gray_cmp(a: list[int], b: list[int]) -> int:
         parity = not parity
 
 
+def _lex_cmp(a: list[int], b: list[int]) -> int:
+    """Direct transcription of the reference comparator
+    (Transform.java:2017-2032): first difference descending
+    (t = b - a; t < 0 ? -1 : 1), exhausted list first."""
+    for x, y in zip(a, b):
+        if x != y:
+            return -1 if (y - x) < 0 else 1
+    if len(a) == len(b):
+        return 0
+    return -1 if len(a) < len(b) else 1
+
+
 def test_gray_and_lex_orderings(spark):
     edges = synth.erdos_renyi(40, 0.12, seed=17)
     g = _g(spark, edges, 40)
@@ -254,8 +266,8 @@ def test_gray_and_lex_orderings(spark):
     for s, d in sorted(set(map(tuple, edges))):
         adj[int(s)].append(int(d))
 
-    # lex: plain list order, shorter-prefix-first, ties by id
-    lex_want = sorted(range(40), key=lambda x: (adj[x], x))
+    # lex: reference comparator order (first difference descending), ties by id
+    lex_want = sorted(range(40), key=lambda x: (cmp_to_key(_lex_cmp)(adj[x]), x))
     lex_rows = tr.lex_key(g).collect()
     lex_got = [r["id"] for r in sorted(lex_rows, key=lambda r: (list(r["key"]), r["id"]))]
     assert lex_got == lex_want

@@ -81,14 +81,42 @@ def bfs_distances(
     return visited
 
 
-def visit_all(g: Graph, symmetric: bool = False) -> DataFrame:
+def visit_all(
+    g: Graph, symmetric: bool = False, checkpoint_every: int = 25
+) -> DataFrame:
     """(id, round, dist): BFS from node 0, then from the smallest
     unvisited node, etc. — ``ParallelBreadthFirstVisit.visitAll``
     (``algo/ParallelBreadthFirstVisit.java:272``).  ``round`` equals the
-    reference's component marker for symmetric graphs."""
+    reference's component marker for symmetric graphs.
+
+    **Scale paths.**  For ``symmetric=True`` the visit order is provably
+    component-min-id order and each BFS stays inside its component, so
+    the whole output is computed in PARALLEL: one distributed CC, one
+    multi-source BFS from every component head at once, and a scalable
+    rank for the round index — O(diameter) Spark rounds total,
+    independent of the component count.  The directed path keeps the
+    reference's order-dependent semantics (a later BFS excludes
+    earlier-visited nodes) and is inherently sequential per component —
+    O(#components) driver rounds; its union/lineage chains are
+    truncated every ``checkpoint_every`` components, but don't use it
+    on graphs with millions of components."""
     spark = g.edges.sparkSession
-    all_nodes = g.nodes().cache()
-    remaining = all_nodes
+    if symmetric:
+        from webgraph_big_spark.algorithms.components import connected_components
+        from webgraph_big_spark.functions import global_rank
+
+        comp = connected_components(g, symmetric=True).localCheckpoint(eager=True)
+        heads = comp.select(F.col("comp").alias("id")).distinct()
+        rounds = global_rank(
+            heads.select(F.col("id").alias("comp")), ["comp"], out="round"
+        )
+        dists = bfs_distances(g, heads, symmetric=True)
+        return (
+            comp.join(rounds, "comp")
+            .join(dists, "id")
+            .select("id", F.col("round").cast("long"), F.col("dist").cast("int"))
+        )
+    remaining = g.nodes().localCheckpoint(eager=True)
     out = spark.createDataFrame([], "id long, round long, dist int")
     rnd = 0
     while True:
@@ -97,9 +125,12 @@ def visit_all(g: Graph, symmetric: bool = False) -> DataFrame:
             break
         d = bfs_distances(g, [int(head)], symmetric=symmetric)
         out = out.union(d.select("id", F.lit(rnd).cast("long").alias("round"), F.col("dist").cast("int")))
-        remaining = remaining.join(d.select("id"), "id", "left_anti").cache()
+        remaining = remaining.join(d.select("id"), "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        if (rnd + 1) % checkpoint_every == 0:
+            out = out.localCheckpoint(eager=True)  # truncate the union chain
         if remaining.isEmpty():
             break
         rnd += 1
-    all_nodes.unpersist()
     return out

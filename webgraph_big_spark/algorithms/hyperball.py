@@ -11,15 +11,26 @@ harmonic / closeness / Lin / reachable).
 
 Spark design (production path — 100% JVM in the hot loop):
 
-- state(id, r0..r63: int, est: double): the 2^b registers are COLUMNS,
-  not a packed blob, so the per-round merge is 64 built-in ``F.max``
-  aggregates.  That buys the two properties a packed-binary +
+- state(id, r0..r{m-1}: int, est: double): the 2^log2m registers are
+  COLUMNS, not a packed blob, so the per-round merge is m built-in
+  ``F.max`` aggregates.  That buys the two properties a packed-binary +
   ``collect_list`` + Arrow-UDF merge cannot have:
   * **map-side combine** — a 10⁸-in-degree hub receives one partial row
     per upstream task, never 10⁸ rows in one group (no OOM, no salting);
   * **zero Python** — merge, changed-detection, and the HLL estimator
     (Σ 2^-r, zero count, small-range correction) are all codegen'd
     column expressions.
+- ``log2m`` is the reference ctor's precision knob
+  (``algo/HyperBall.java:217``): rel. std ≈ 1.04/sqrt(m).  The plan is
+  O(m) columns wide — the measured driver/plan-build cost per m is in
+  BENCH.md; the default m=64 keeps plans cheap (~13% rel. std, the
+  reference's own small-precision regime).
+- the edge table is hash-partitioned by ``dst`` ONCE and cache()d
+  (InMemoryRelation preserves outputPartitioning; localCheckpoint's
+  LogicalRDD would not) so the two per-round joins on ``dst`` exchange
+  ONLY the changed-frontier and state rows — the m-arc edge table never
+  reshuffles inside the loop (same recipe as pagerank.py's
+  co-partitioned path).
 - messages flow only from nodes whose counter changed last round
   (systolic); termination is ``changed = ∅`` (the natural fixpoint).
 - NF / centrality updates are *incremental*: only touched nodes
@@ -29,12 +40,18 @@ The register hash is the engine-portable md5-prefix hash
 (``functions.stable_long_hash``), so the full register state after t
 rounds is bit-reproducible in ANSI SQL — the driver gate compares the
 merged registers themselves (integers, no float tolerance), and the
-unrolled DuckDB oracle below is a 1:1 mirror of the Spark plan.
+unrolled DuckDB oracles below are 1:1 mirrors of the Spark plan
+(:func:`hyperball_registers_sql` for the raw registers,
+:func:`hyperball_centralities_sql` for the estimator + per-round
+harmonic/closeness delta sums — the same float expressions in the same
+association order, so 3-dp-rounded outputs hash-match).
 """
 
 from __future__ import annotations
 
+import functools
 import math
+from types import SimpleNamespace
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -70,122 +87,171 @@ def neighbourhood_function_exact(g: Graph, t_max: int) -> DataFrame:
 # HyperBall (approximate, HLL registers)
 # ---------------------------------------------------------------------------
 
-LOG2M = 6
-P = 1 << LOG2M  # registers → rel. std dev ≈ 1.04/sqrt(64) ≈ 13%
-_ALPHA_64 = 0.709  # HLL bias constant for m=64
+LOG2M = 6  # default precision: m=64 registers → rel. std ≈ 13%
 HASH_BITS = 48  # md5-prefix hash width (functions.stable_long_hash)
-W_BITS = HASH_BITS - LOG2M  # 42 pattern bits → rho ∈ [1, 43]
-
-_RCOLS = [f"r{k}" for k in range(P)]
+_LN2 = math.log(2.0)
 
 
-def init_register_cols():
+def _alpha(m: int) -> float:
+    """HLL bias-correction constant (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+@functools.lru_cache(maxsize=None)
+def _cfg(log2m: int) -> SimpleNamespace:
+    """Per-precision expression bundle.  All multi-register expressions
+    are SQL STRINGS evaluated with one selectExpr/F.expr call: building
+    m-column trees through the Column API costs one py4j round-trip per
+    operator (~5 ms each ⇒ seconds of pure driver overhead per loop
+    round); a string is ONE call and parses JVM-side."""
+    if not 4 <= log2m <= 12:
+        raise ValueError(f"log2m must be in [4, 12], got {log2m}")
+    p = 1 << log2m
+    a = _alpha(p)
+    return SimpleNamespace(
+        log2m=log2m,
+        p=p,
+        w_bits=HASH_BITS - log2m,
+        rcols=[f"r{k}" for k in range(p)],
+        zsum=" + ".join(f"exp({-_LN2} * r{k})" for k in range(p)),
+        zeros=" + ".join(f"(CASE WHEN r{k} = 0 THEN 1 ELSE 0 END)" for k in range(p)),
+        est_expr=(
+            f"CASE WHEN ({a * p * p} / _z) <= {2.5 * p} AND _zeros > 0 "
+            f"THEN {float(p)} * ln({float(p)} / CAST(_zeros AS DOUBLE)) "
+            f"ELSE ({a * p * p} / _z) END"
+        ),
+    )
+
+
+# back-compat module constants (the m=64 default; tests/tools import these)
+P = _cfg(LOG2M).p
+W_BITS = _cfg(LOG2M).w_bits
+_ALPHA_64 = _alpha(64)
+_RCOLS = _cfg(LOG2M).rcols
+_ZSUM = _cfg(LOG2M).zsum
+_ZEROS = _cfg(LOG2M).zeros
+_EST_EXPR = _cfg(LOG2M).est_expr
+
+
+def init_register_cols(log2m: int = LOG2M):
     """(j, rho) Columns for a node id — pure JVM expressions, mirrored
     exactly by :func:`register_init_sql` for the DuckDB oracle.
 
     h = 48-bit md5-prefix hash of the *decimal string* of the id;
-    j = h & (P-1);  w = h >> log2m;  rho = (W_BITS - bitlen(w)) + 1
+    j = h & (m-1);  w = h >> log2m;  rho = (w_bits - bitlen(w)) + 1
     (bitlen via the binary-string length — exact, no float log)."""
+    c = _cfg(log2m)
     h = stable_long_hash(F.col("id").cast("string"), bits=HASH_BITS)
-    j = h.bitwiseAND(F.lit(P - 1))
-    w = F.shiftrightunsigned(h, LOG2M)
-    rho = F.when(w == 0, F.lit(W_BITS + 1)).otherwise(
-        F.lit(W_BITS) - F.length(F.bin(w)) + 1
+    j = h.bitwiseAND(F.lit(c.p - 1))
+    w = F.shiftrightunsigned(h, log2m)
+    rho = F.when(w == 0, F.lit(c.w_bits + 1)).otherwise(
+        F.lit(c.w_bits) - F.length(F.bin(w)) + 1
     )
     return j.alias("j"), rho.cast("int").alias("rho")
 
 
-# NB: all multi-register expressions below are built as SQL STRINGS and
-# evaluated with one selectExpr/F.expr call.  Building 64-column trees
-# through the Column API costs one py4j round-trip per operator (~5 ms
-# each ⇒ seconds of pure driver overhead per loop round); a string is
-# ONE call and parses JVM-side.
-
-_LN2 = math.log(2.0)
-_ZSUM = " + ".join(f"exp({-_LN2} * r{k})" for k in range(P))
-_ZEROS = " + ".join(f"(CASE WHEN r{k} = 0 THEN 1 ELSE 0 END)" for k in range(P))
-_EST_EXPR = (
-    f"CASE WHEN ({_ALPHA_64 * P * P} / _z) <= {2.5 * P} AND _zeros > 0 "
-    f"THEN {float(P)} * ln({float(P)} / CAST(_zeros AS DOUBLE)) "
-    f"ELSE ({_ALPHA_64 * P * P} / _z) END"
-)
-
-
-def _with_est(df: DataFrame) -> DataFrame:
+def _with_est(df: DataFrame, c: SimpleNamespace) -> DataFrame:
     """Append the HLL estimate column (α·m²/Σ2^-r with small-range
     correction) — pure codegen'd SQL expressions."""
-    keep = [c for c in df.columns]
+    keep = [col for col in df.columns]
     return df.selectExpr(
-        *keep, f"({_ZSUM}) AS _z", f"({_ZEROS}) AS _zeros"
-    ).selectExpr(*keep, f"{_EST_EXPR} AS est")
+        *keep, f"({c.zsum}) AS _z", f"({c.zeros}) AS _zeros"
+    ).selectExpr(*keep, f"{c.est_expr} AS est")
 
 
-def _init_state(g: Graph) -> DataFrame:
-    """state(id, r0..r63): each node's counter containing just {id}."""
-    jrho = g.nodes().select("id", *init_register_cols())
+def _init_state(g: Graph, log2m: int = LOG2M) -> DataFrame:
+    """state(id, r0..r{m-1}): each node's counter containing just {id}."""
+    c = _cfg(log2m)
+    jrho = g.nodes().select("id", *init_register_cols(log2m))
     return jrho.selectExpr(
-        "id", *[f"CASE WHEN j = {k} THEN rho ELSE 0 END AS r{k}" for k in range(P)]
+        "id", *[f"CASE WHEN j = {k} THEN rho ELSE 0 END AS r{k}" for k in range(c.p)]
     )
 
 
-def _hyperball_loop(g: Graph, t_max: int | None, on_round):
+def _hyperball_loop(g: Graph, t_max: int | None, on_round, log2m: int = LOG2M):
     """Shared systolic driver.  ``on_round(t, state, touched,
     new_changed)`` is called after each merge; the loop ends when no
     counter changed or t_max is hit.  Everything here is built-in
     column expressions — max-merge with map-side combine, greatest()
-    against the old state, 64-way inequality for change detection."""
-    edges = g.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    state = _with_est(_init_state(g)).localCheckpoint(eager=True)
-    changed = state.select("id")  # round 0: everything is new
-    t = 0
-    # changed ⇔ some incoming max exceeds the old register
-    chg_expr = " OR ".join(f"coalesce(m{k}, 0) > o{k}" for k in range(P))
-    merged_exprs = [
-        f"greatest(o{k}, coalesce(m{k}, 0)) AS r{k}" for k in range(P)
-    ]
-    while t_max is None or t < t_max:
-        t += 1
-        # systolic: only counters that changed last round are propagated;
-        # regs travel dst→src (x absorbs its successors' balls).  The
-        # groupBy-max gets partial aggregation: hub fan-in collapses
-        # map-side, one partial row per task reaches the reducer.
-        msgs = (
-            edges.join(changed.withColumnRenamed("id", "dst"), "dst")
-            .join(
-                state.selectExpr("id AS dst", *_RCOLS),
-                "dst",
+    against the old state, m-way inequality for change detection.
+
+    The edge table is partitioned by ``dst`` once and cached so the
+    per-round joins never re-exchange it (see module docstring)."""
+    c = _cfg(log2m)
+    spark = g.edges.sparkSession
+    k_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        g.edges.select("src", "dst").distinct().repartition(k_part, "dst").cache()
+    )
+    edges.count()  # materialize: partitioning lives in the InMemoryRelation
+    try:
+        state = _with_est(_init_state(g, log2m), c).localCheckpoint(eager=True)
+        changed = state.select("id")  # round 0: everything is new
+        t = 0
+        # changed ⇔ some incoming max exceeds the old register
+        chg_expr = " OR ".join(f"coalesce(m{k}, 0) > o{k}" for k in range(c.p))
+        merged_exprs = [
+            f"greatest(o{k}, coalesce(m{k}, 0)) AS r{k}" for k in range(c.p)
+        ]
+        while t_max is None or t < t_max:
+            t += 1
+            # systolic: only counters that changed last round are propagated;
+            # regs travel dst→src (x absorbs its successors' balls).  The
+            # groupBy-max gets partial aggregation: hub fan-in collapses
+            # map-side, one partial row per task reaches the reducer.  Both
+            # joins key on dst: the cached edge partitioning satisfies the
+            # distribution requirement, so only the (thin) frontier and the
+            # state rows are exchanged; shuffle_hash avoids re-sorting the
+            # cached relation every round.
+            msgs = (
+                edges.join(
+                    changed.withColumnRenamed("id", "dst").hint("shuffle_hash"),
+                    "dst",
+                )
+                .join(
+                    state.selectExpr("id AS dst", *c.rcols).hint("shuffle_hash"),
+                    "dst",
+                )
+                .selectExpr("src AS id", *c.rcols)
             )
-            .selectExpr("src AS id", *_RCOLS)
-        )
-        gathered = msgs.groupBy("id").agg(
-            *[F.expr(f"max(r{k})").alias(f"m{k}") for k in range(P)]
-        )
-        old_named = state.selectExpr(
-            "id", *[f"r{k} AS o{k}" for k in range(P)], "est AS old_est"
-        )
-        touched = gathered.join(old_named, "id").selectExpr(
-            "id", *merged_exprs, "old_est", f"({chg_expr}) AS _chg"
-        )
-        touched = _with_est(touched).localCheckpoint(eager=True)
-        new_changed = touched.filter(F.col("_chg")).select("id")
-        state = (
-            state.join(touched.select("id"), "id", "left_anti")
-            .select("id", *_RCOLS, "est")
-            .unionByName(touched.select("id", *_RCOLS, "est"))
-            .localCheckpoint(eager=True)
-        )
-        n_changed = on_round(t, state, touched, new_changed)
-        if n_changed == 0:
-            break
-        changed = new_changed
-    return state, t
+            gathered = msgs.groupBy("id").agg(
+                *[F.expr(f"max(r{k})").alias(f"m{k}") for k in range(c.p)]
+            )
+            old_named = state.selectExpr(
+                "id", *[f"r{k} AS o{k}" for k in range(c.p)], "est AS old_est"
+            )
+            touched = gathered.join(old_named, "id").selectExpr(
+                "id", *merged_exprs, "old_est", f"({chg_expr}) AS _chg"
+            )
+            touched = _with_est(touched, c).localCheckpoint(eager=True)
+            new_changed = touched.filter(F.col("_chg")).select("id")
+            state = (
+                state.join(touched.select("id"), "id", "left_anti")
+                .select("id", *c.rcols, "est")
+                .unionByName(touched.select("id", *c.rcols, "est"))
+                .localCheckpoint(eager=True)
+            )
+            n_changed = on_round(t, state, touched, new_changed)
+            if n_changed == 0:
+                break
+            changed = new_changed
+        return state, t
+    finally:
+        edges.unpersist()
 
 
-def hyperball(g: Graph, t_max: int) -> DataFrame:
+def hyperball(g: Graph, t_max: int, log2m: int = LOG2M) -> DataFrame:
     """(t, nf_estimate) for t = 0..t_max: approximate neighbourhood
     function.  NF updates are incremental sums of touched-node estimate
     deltas — untouched nodes cost nothing per round."""
     spark = g.edges.sparkSession
+    c = _cfg(log2m)
     results: list[tuple[int, float]] = []
     nf = [0.0]
 
@@ -211,12 +277,12 @@ def hyperball(g: Graph, t_max: int) -> DataFrame:
         return n_changed
 
     if t_max == 0:
-        state0 = _with_est(_init_state(g))
+        state0 = _with_est(_init_state(g, log2m), c)
         nf0 = float(state0.agg(F.coalesce(F.sum("est"), F.lit(0.0))).first()[0])
         return spark.createDataFrame([(0, nf0)], "t long, nf double")
-    _hyperball_loop(g, t_max, on_round)
+    _hyperball_loop(g, t_max, on_round, log2m)
     if not results:  # graph with no arcs: loop did one no-op round
-        state0 = _with_est(_init_state(g))
+        state0 = _with_est(_init_state(g, log2m), c)
         nf[0] = float(state0.agg(F.coalesce(F.sum("est"), F.lit(0.0))).first()[0])
         results.append((0, nf[0]))
     # pad to t_max if the systolic loop converged early (NF is constant)
@@ -225,23 +291,27 @@ def hyperball(g: Graph, t_max: int) -> DataFrame:
     return spark.createDataFrame(results, "t long, nf double")
 
 
-def hyperball_registers(g: Graph, t_max: int) -> DataFrame:
+def hyperball_registers(g: Graph, t_max: int, log2m: int = LOG2M) -> DataFrame:
     """(id, regs_csv): the raw merged register vectors after ``t_max``
     rounds, serialized as comma-joined decimal values.  Integers only —
     the exactly-reproducible core the driver gate hashes against the
     unrolled SQL oracle (:func:`hyperball_registers_sql`)."""
+    c = _cfg(log2m)
 
     def on_round(t, state, touched, new_changed):
         return new_changed.count()
 
-    state, _ = _hyperball_loop(g, t_max, on_round)
+    state, _ = _hyperball_loop(g, t_max, on_round, log2m)
     return state.select(
-        "id", F.concat_ws(",", *[F.col(c).cast("string") for c in _RCOLS]).alias("regs_csv")
+        "id",
+        F.concat_ws(",", *[F.col(col).cast("string") for col in c.rcols]).alias(
+            "regs_csv"
+        ),
     )
 
 
 def hyperball_centralities(
-    g: Graph, t_max: int | None = None, discount=None
+    g: Graph, t_max: int | None = None, discount=None, log2m: int = LOG2M
 ) -> DataFrame:
     """(id, reachable, harmonic, closeness, lin[, discounted]):
     HLL-estimated geometric centralities — ``algo/HyperBall.java:245``'s
@@ -257,12 +327,13 @@ def hyperball_centralities(
     t → weight evaluated driver-side per round (t is a small integer),
     accumulating mass · discount(t) into a ``discounted`` column.
     Runs to the systolic fixpoint when ``t_max`` is None.
+
+    SQL-oracle mirror: :func:`hyperball_centralities_sql` (same
+    expressions, same left-to-right accumulation order).
     """
-    gt = Graph(
-        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
-        g._num_nodes,
-        dense=g.dense,
-    )
+    from webgraph_big_spark.transforms import BidirectionalGraph
+
+    gt = BidirectionalGraph(g).backward
     acc = [None]  # (id, harmonic, sumdist, discounted) accumulator
 
     def on_round(t, state, touched, new_changed):
@@ -295,7 +366,7 @@ def hyperball_centralities(
             )
         return n_changed
 
-    state, _ = _hyperball_loop(gt, t_max, on_round)
+    state, _ = _hyperball_loop(gt, t_max, on_round, log2m)
     base = state.select("id", F.col("est").alias("reachable"))
     extra = [F.lit(0.0).alias("discounted")] if discount else []
     a = acc[0]
@@ -336,46 +407,98 @@ def hyperball_centralities(
 
 
 # ---------------------------------------------------------------------------
-# SQL oracle generator for the register gate
+# SQL oracle generators for the register / centrality gates
 # ---------------------------------------------------------------------------
 
 
-def register_init_sql(nodes_cte: str) -> str:
+def register_init_sql(nodes_cte: str, log2m: int = LOG2M) -> str:
     """DuckDB fragment computing (id, j, rho) — the exact mirror of
     :func:`init_register_cols` (same md5-prefix hash, same binary-string
     bit length)."""
+    c = _cfg(log2m)
     h = "('0x' || substr(md5(id::VARCHAR), 1, 12))::BIGINT"
     return (
         f"_h AS MATERIALIZED (SELECT id, {h} AS h FROM {nodes_cte}), "
-        f"_jr AS MATERIALIZED (SELECT id, h & {P - 1} AS j, "
-        f"CASE WHEN (h // {P}) = 0 THEN {W_BITS + 1} "
-        f"ELSE {W_BITS} - length(bin(h // {P})) + 1 END AS rho FROM _h)"
+        f"_jr AS MATERIALIZED (SELECT id, h & {c.p - 1} AS j, "
+        f"CASE WHEN (h // {c.p}) = 0 THEN {c.w_bits + 1} "
+        f"ELSE {c.w_bits} - length(bin(h // {c.p})) + 1 END AS rho FROM _h)"
     )
 
 
-def hyperball_registers_sql(edge_sql: str, t_max: int) -> str:
-    """Unrolled DuckDB SQL reproducing ``hyperball_registers`` exactly:
-    64 per-register max-merge columns, t_max rounds, csv output — the
-    same shape as the Spark plan (64 max aggregates + greatest)."""
+def _register_rounds_sql(edge_sql: str, t_max: int, c: SimpleNamespace) -> list[str]:
+    """Shared CTE chain: e, nodes, _h/_jr, s0..s{t_max} — the unrolled
+    register recursion (m per-register max-merge columns per round, the
+    same shape as the Spark plan: m max aggregates + greatest)."""
     parts = [
         f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edge_sql}))",
         "nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e))",
-        register_init_sql("nodes"),
+        register_init_sql("nodes", c.log2m),
         "s0 AS MATERIALIZED (SELECT id, "
-        + ", ".join(f"CASE WHEN j = {k} THEN rho ELSE 0 END AS r{k}" for k in range(P))
+        + ", ".join(f"CASE WHEN j = {k} THEN rho ELSE 0 END AS r{k}" for k in range(c.p))
         + " FROM _jr)",
     ]
     for t in range(1, t_max + 1):
-        maxes = ", ".join(f"max(ss.r{k}) AS r{k}" for k in range(P))
+        maxes = ", ".join(f"max(ss.r{k}) AS r{k}" for k in range(c.p))
         merged = ", ".join(
-            f"greatest(s.r{k}, coalesce(m.r{k}, 0)) AS r{k}" for k in range(P)
+            f"greatest(s.r{k}, coalesce(m.r{k}, 0)) AS r{k}" for k in range(c.p)
         )
         parts.append(
             f"s{t} AS MATERIALIZED (SELECT s.id, {merged} FROM s{t-1} s "
             f"LEFT JOIN (SELECT e.src AS id, {maxes} FROM e "
             f"JOIN s{t-1} ss ON e.dst = ss.id GROUP BY e.src) m ON m.id = s.id)"
         )
+    return parts
+
+
+def hyperball_registers_sql(edge_sql: str, t_max: int, log2m: int = LOG2M) -> str:
+    """Unrolled DuckDB SQL reproducing ``hyperball_registers`` exactly:
+    m per-register max-merge columns, t_max rounds, csv output."""
+    c = _cfg(log2m)
+    parts = _register_rounds_sql(edge_sql, t_max, c)
     # concat_ws keeps the expression tree flat (a 64-term || chain blows
     # DuckDB's binder recursion limit)
-    csv = "concat_ws(','" + "".join(f", r{k}::VARCHAR" for k in range(P)) + ")"
+    csv = "concat_ws(','" + "".join(f", r{k}::VARCHAR" for k in range(c.p)) + ")"
     return ", ".join(parts) + f" SELECT id, {csv} AS regs_csv FROM s{t_max}"
+
+
+def hyperball_centralities_sql(
+    edge_sql: str, t_max: int, log2m: int = LOG2M, round_dp: int = 3
+) -> str:
+    """Unrolled DuckDB SQL reproducing ``hyperball_centralities(g,
+    t_max).select(id, round(reachable, dp), round(harmonic, dp))``.
+
+    Mirrors the Spark computation term for term: the register recursion
+    runs over the TRANSPOSE (swap src/dst); per round t the per-node
+    estimate est_t is the same ``est_expr`` string evaluated on s_t's
+    registers; harmonic = Σ_t (est_t − est_{t−1})/t accumulated LEFT
+    ASSOCIATIVELY in increasing t (the exact order the incremental
+    Spark accumulator adds them — untouched rounds contribute exactly
+    +0.0, which is an IEEE no-op, so summing over all nodes/rounds here
+    equals Spark's touched-only sums bit for bit); reachable = est_T.
+    """
+    c = _cfg(log2m)
+    transposed = f"SELECT dst AS src, src AS dst FROM ({edge_sql})"
+    parts = _register_rounds_sql(transposed, t_max, c)
+    for t in range(t_max + 1):
+        parts.append(
+            f"z{t} AS MATERIALIZED (SELECT id, ({c.zsum}) AS _z, "
+            f"({c.zeros}) AS _zeros FROM s{t})"
+        )
+        parts.append(
+            f"e{t} AS MATERIALIZED (SELECT id, {c.est_expr} AS est FROM z{t})"
+        )
+    if t_max == 0:
+        harmonic = "0.0"
+    else:
+        harmonic = " + ".join(
+            f"((e{t}.est - e{t-1}.est) / {float(t)})" for t in range(1, t_max + 1)
+        )
+    joins = "e0" + "".join(
+        f" JOIN e{t} ON e{t}.id = e0.id" for t in range(1, t_max + 1)
+    )
+    last = f"e{t_max}"
+    return (
+        ", ".join(parts)
+        + f" SELECT e0.id AS id, round({last}.est, {round_dp}) AS reachable, "
+        f"round({harmonic}, {round_dp}) AS harmonic FROM {joins}"
+    )

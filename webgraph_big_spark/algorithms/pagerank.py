@@ -164,5 +164,13 @@ def pagerank(
         checkpoint_every=checkpoint_every,
         max_iterations=fixed_iterations or max_iterations,
     )
-    result = runner.run(initial, step, check=None if fixed_iterations else check, resume=resume)
+    try:
+        result = runner.run(
+            initial, step, check=None if fixed_iterations else check, resume=resume
+        )
+    finally:
+        if not use_broadcast:
+            # don't leave the degree-joined edge table pinned in executor
+            # storage for the rest of the session
+            edges_w.unpersist()
     return result.state

@@ -128,6 +128,12 @@ def strongly_connected_components_fwbw(
        remove, repeat.  Many SCCs resolve per outer round.
 
     All phases are frontier loops: state never exceeds O(n) rows.
+
+    The loop runs until every node is assigned (each coloring round
+    resolves at least the color roots' SCCs, so outer rounds are bounded
+    by #SCCs — pathological on a chain of cycles with ids decreasing
+    along it).  ``max_outer`` is a safety bound: exceeding it RAISES
+    rather than returning a silent partial labelling.
     """
     spark = g.edges.sparkSession
     edges = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
@@ -136,12 +142,20 @@ def strongly_connected_components_fwbw(
     edges = edges.localCheckpoint(eager=True)
     nodes = nodes.localCheckpoint(eager=True)
 
-    for outer in range(max_outer):
+    outer = -1
+    while True:
+        outer += 1
         edges, nodes, peeled = _peel_trivial(edges, nodes)
         if not peeled.isEmpty():
             done = done.union(peeled.select("id", F.col("id").alias("comp")))
         if nodes.isEmpty():
             break
+        if outer >= max_outer:
+            raise RuntimeError(
+                f"FW-BW SCC: {nodes.count()} nodes unassigned after "
+                f"max_outer={max_outer} outer rounds — raise max_outer "
+                "(bounded by the number of SCCs in the worst case)"
+            )
 
         if outer < giant_pivots:
             # FW-BW from the deterministic pivot (min id) — catches the

@@ -111,6 +111,66 @@ def global_rank(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value: str,
+    out: str = "cum",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Scalable INCLUSIVE prefix sum of ``value`` in ``order_cols`` order
+    (which must be a unique key) — the weighted sibling of
+    :func:`global_rank`, replacing single-task ``Window.orderBy`` prefix
+    sums (e.g. cumulative outdegree for arc-balanced splitting).
+
+    Plan: one range shuffle + intra-partition sort, a per-partition SUM
+    collected to the driver (≤ #partitions rows), a driver-side offset
+    cumsum, then offset + intra-partition running sum via one
+    Arrow-batched ``mapInPandas``.  No stage ever sorts or scans more
+    than one partition's rows serially.
+    """
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    arranged = (
+        df.repartitionByRange(partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # materialize ONCE: sampled range boundaries must be identical
+        # for the per-partition-sum job and the running-sum job
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(arranged.schema.fields) + [T.StructField("_run", T.LongType())]
+    )
+
+    def add_running(it):
+        acc = 0
+        for pdf in it:
+            run = pdf[value].cumsum() + acc
+            acc = int(run.iloc[-1]) if len(run) else acc
+            yield pdf.assign(_run=run.astype("int64"))
+
+    with_run = arranged.mapInPandas(add_running, schema=out_schema)
+    sums = arranged.groupBy("_pid").agg(F.sum(value).alias("s")).collect()
+    offsets, acc = {}, 0
+    for row in sorted(sums, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += int(row["s"] or 0)
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+        )
+    )
+    return (
+        with_run.join(off_df, "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_run")).cast("long"))
+        .drop("_pid", "_run", "_off")
+    )
+
+
 def url_host(url: Column) -> Column:
     """URL → host — the ``BuildHostMap`` key (``BuildHostMap.java:75-96``).
     ``parse_url`` is JVM-side; for the top-private-domain variant see

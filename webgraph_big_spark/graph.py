@@ -137,6 +137,23 @@ class Graph:
         )
         return cls(df, dense=True)
 
+    @classmethod
+    def from_triples_text(
+        cls, spark: SparkSession, path: str, sep: str = "\t", label_name: str = "label"
+    ) -> "Graph":
+        """Labelled triple-text source: one ``src<sep>dst<sep>label`` per
+        line, the label a nonnegative integer — the analogue of
+        ``examples/IntegerTriplesArcLabelledImmutableGraph.java:55``
+        (TAB-separated triples from text, n = max endpoint + 1, labels
+        carried arc-aligned; multiple arcs are not allowed there and are
+        deduplicated deterministically here at store time)."""
+        df = (
+            spark.read.schema(f"src LONG, dst LONG, {label_name} LONG")
+            .options(sep=sep, comment="#")
+            .csv(path)
+        )
+        return cls(df, dense=True)
+
     # ------------------------------------------------------------------
     # basic accessors (ImmutableGraph surface)
     # ------------------------------------------------------------------
@@ -260,7 +277,13 @@ class Graph:
         arr = F.sort_array(
             F.collect_list(F.struct(F.col("dst"), *[F.col(c) for c in label_cols]))
         )
-        out = self.edges.dropDuplicates(["src", "dst"]).groupBy("src").agg(arr.alias("_a"))
+        # duplicate (src,dst) arcs keep the MIN label per column — a
+        # deterministic merge (partition-order-independent), matching
+        # union_labelled's default LabelMergeStrategy
+        dedup = self.edges.groupBy("src", "dst").agg(
+            *[F.min(c).alias(c) for c in label_cols]
+        )
+        out = dedup.groupBy("src").agg(arr.alias("_a"))
         def _field(name):
             # NB: a `lambda x, c=c` default-arg closure would have a
             # 2-parameter signature, which PySpark interprets as the
@@ -345,30 +368,39 @@ class Graph:
         of reflecting on ``.properties``.
 
         Gap decode is positional and linear: ``posexplode`` the gap
-        array, then a per-``src`` running sum reconstructs absolute
-        successors (dst_i = Σ_{j≤i} gap_j + i) — O(d) per row, hub-safe,
-        unlike an array-accumulator fold which copies O(d²).  Label
-        arrays (labelled graphs) are decoded by position in the same
-        pass."""
+        array (zipped with the label arrays for labelled graphs, so each
+        exploded row carries SCALARS, never the node's full label arrays
+        — a 10⁶-degree labelled hub stays O(d) rows × O(1) width, not
+        O(d²) bytes), then a per-``src`` running sum reconstructs
+        absolute successors (dst_i = Σ_{j≤i} gap_j + i)."""
         with open(os.path.join(basename, "meta.json")) as fh:
             meta = json.load(fh)
         gaps = spark.read.parquet(os.path.join(basename, "adj"))
         label_cols = meta.get("label_cols", [])
-        exploded = gaps.filter(F.size("dst_gaps") > 0).select(
-            "src",
-            *[F.col(f"lbl_{c}") for c in label_cols],
-            F.posexplode("dst_gaps").alias("pos", "gap"),
-        )
+        nonempty = gaps.filter(F.size("dst_gaps") > 0)
+        if label_cols:
+            zipped = F.arrays_zip(
+                F.col("dst_gaps"), *[F.col(f"lbl_{c}") for c in label_cols]
+            )
+            exploded = nonempty.select(
+                "src", F.posexplode(zipped).alias("pos", "_z")
+            ).select(
+                "src",
+                "pos",
+                F.col("_z.dst_gaps").alias("gap"),
+                *[F.col(f"_z.lbl_{c}").alias(f"_l_{c}") for c in label_cols],
+            )
+        else:
+            exploded = nonempty.select(
+                "src", F.posexplode("dst_gaps").alias("pos", "gap")
+            )
         w = Window.partitionBy("src").orderBy("pos").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         decoded = exploded.select(
             "src",
             (F.sum("gap").over(w) + F.col("pos")).alias("dst"),
-            *[
-                F.element_at(F.col(f"lbl_{c}"), F.col("pos") + 1).alias(c)
-                for c in label_cols
-            ],
+            *[F.col(f"_l_{c}").alias(c) for c in label_cols],
         )
         return cls(decoded, num_nodes=meta["nodes"])
 

@@ -20,8 +20,8 @@ Spark translation:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
+from webgraph_big_spark.functions import global_cumsum
 from webgraph_big_spark.graph import Graph
 
 
@@ -81,12 +81,14 @@ def repartition_by_cumulative_degree(g: Graph, num_partitions: int) -> DataFrame
     src order, buckets it, and range-repartitions the edges on the bucket.
     The degree scan is one extra aggregation; do this once before an
     iterative job, not per iteration.
+
+    The prefix sum uses :func:`global_cumsum` (range-partitioned parallel
+    sort + driver offset cumsum) — never a single-task global window,
+    which at 10⁹ nodes would serialize the whole degree table through
+    one core.
     """
     deg = g.out_degrees()
-    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
-    # cumulative outdegree per node; window over the (comparatively tiny)
-    # degree table, not the edge table.
-    cum = deg.select("id", (F.sum("outdeg").over(w)).alias("cum"))
+    cum = global_cumsum(deg, ["id"], "outdeg", out="cum").select("id", "cum")
     total = g.num_arcs()
     per_part = max(1, total // num_partitions)
     buckets = cum.select(

@@ -9,24 +9,33 @@ incrementally with Structured Streaming:
 - :func:`stream_arc_files` — file-source stream of (src, dst[, ts]) arc
   batches (each dropped parquet file = one micro-batch of new arcs).
 - :func:`incremental_degrees` — cumulative out/in-degree counts kept in
-  a versioned parquet state table, updated per micro-batch via
-  ``foreachBatch`` (read current state → full-outer merge → write next
-  version → atomically flip a pointer file).  This is the streaming
-  analogue of ``outdegrees()`` and the pattern to extend to any
-  decomposable aggregate (degree histograms, host counts, …).
+  a BUCKETED versioned parquet state table (bucket = ``pmod(id, B)``),
+  updated per micro-batch via ``foreachBatch``: read only the buckets
+  the batch touches → full-outer merge → write ONLY those buckets to a
+  new version directory → atomically flip a manifest pointer that maps
+  every bucket to the version holding its latest copy.  Untouched
+  bucket files are never rewritten (batch cost is O(touched state), not
+  O(total nodes)).  This is the streaming analogue of ``outdegrees()``
+  and the pattern to extend to any decomposable aggregate (degree
+  histograms, host counts, …); the bucket→version manifest is the same
+  idea as an Iceberg snapshot manifest, done with one JSON pointer.
 - :func:`windowed_arc_counts` — event-time windowed arc rates with a
   watermark: late arcs beyond the watermark are dropped, closed windows
   append to a parquet log (the readStream → watermark → window → agg →
   writeStream shape).
 
 At scale: per-batch work is one partial aggregation of the batch (small)
-plus one merge join against the state table keyed by node id — state is
-O(nodes) and partitioned; no unbounded executor state is held because
-the running totals live in the parquet table, not in the streaming
-state store (that is what makes the aggregate restart-safe and
-rescalable).  Exactly-once: the checkpointLocation dedups replayed
-batches by batch id — the merge function is called with each batch at
-most once per successful commit.
+plus one merge join against the touched state buckets keyed by node id;
+no unbounded executor state is held because the running totals live in
+the parquet table, not in the streaming state store (that is what makes
+the aggregate restart-safe and rescalable).
+
+Exactly-once: ``foreachBatch`` itself is only at-least-once (a crash
+between the state commit and the streaming checkpoint commit replays
+the batch), so the manifest also records the last applied ``batch_id``
+and :func:`incremental_degrees`' merge is a no-op for
+``batch_id <= last_batch_id`` — the state transition is idempotent
+under replay.
 """
 
 from __future__ import annotations
@@ -37,6 +46,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 ARC_STREAM_SCHEMA = "src long, dst long, ts timestamp"
+STATE_BUCKETS = 16  # default bucket count for new state tables
 
 
 def stream_arc_files(
@@ -47,27 +57,39 @@ def stream_arc_files(
     return spark.readStream.schema(schema).parquet(src_dir)
 
 
-def _current_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+def _read_manifest(state_dir: str) -> dict | None:
     ptr = os.path.join(state_dir, "_CURRENT")
     if not os.path.exists(ptr):
         return None
     with open(ptr) as fh:
-        version = json.load(fh)["version"]
-    return spark.read.parquet(os.path.join(state_dir, f"v{version}"))
+        return json.load(fh)
 
 
-def _commit_state(df: DataFrame, state_dir: str) -> int:
+def _write_manifest(state_dir: str, manifest: dict) -> None:
     ptr = os.path.join(state_dir, "_CURRENT")
-    version = 0
-    if os.path.exists(ptr):
-        with open(ptr) as fh:
-            version = json.load(fh)["version"] + 1
-    df.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{version}"))
     tmp = ptr + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"version": version}, fh)
+        json.dump(manifest, fh)
     os.replace(tmp, ptr)  # atomic pointer flip
-    return version
+
+
+def _current_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Assemble the current state from the bucket→version manifest: one
+    read per distinct version, each covering that version's live bucket
+    partitions — no rewritten-away files are ever touched."""
+    manifest = _read_manifest(state_dir)
+    if manifest is None:
+        return None
+    by_version: dict[int, list[int]] = {}
+    for b, v in manifest["buckets"].items():
+        by_version.setdefault(int(v), []).append(int(b))
+    df = None
+    for v, bs in sorted(by_version.items()):
+        vdir = os.path.join(state_dir, f"v{v}")
+        paths = [os.path.join(vdir, f"_bucket={b}") for b in sorted(bs)]
+        part = spark.read.option("basePath", vdir).parquet(*paths)
+        df = part if df is None else df.unionByName(part)
+    return df
 
 
 def read_degree_state(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -75,7 +97,7 @@ def read_degree_state(spark: SparkSession, state_dir: str) -> DataFrame:
     cur = _current_state(spark, state_dir)
     if cur is None:
         return spark.createDataFrame([], "id long, outdeg long, indeg long")
-    return cur
+    return cur.select("id", "outdeg", "indeg")
 
 
 def incremental_degrees(
@@ -83,44 +105,77 @@ def incremental_degrees(
     state_dir: str,
     checkpoint_dir: str,
     available_now: bool = False,
+    n_buckets: int = STATE_BUCKETS,
 ):
     """Maintain cumulative (id, outdeg, indeg) across the arc stream.
 
     Returns the started StreamingQuery.  ``available_now=True``
     processes everything currently in the source then stops — the
-    testable/batch-catchup trigger.
+    testable/batch-catchup trigger.  ``n_buckets`` applies to a NEW
+    state table; an existing table keeps its recorded bucket count.
     """
     spark = arcs.sparkSession
 
     def merge(batch: DataFrame, batch_id: int) -> None:
+        manifest = _read_manifest(state_dir) or {
+            "version": -1,
+            "last_batch_id": -1,
+            "n_buckets": n_buckets,
+            "buckets": {},
+        }
+        if batch_id <= manifest["last_batch_id"]:
+            return  # replayed batch (foreachBatch is at-least-once): no-op
+        nb = manifest["n_buckets"]
         out = batch.groupBy(F.col("src").alias("id")).agg(
             F.count("*").alias("d_out")
         )
         inn = batch.groupBy(F.col("dst").alias("id")).agg(
             F.count("*").alias("d_in")
         )
-        delta = out.join(inn, "id", "full").select(
-            "id",
-            F.coalesce("d_out", F.lit(0)).alias("d_out"),
-            F.coalesce("d_in", F.lit(0)).alias("d_in"),
-        )
-        cur = _current_state(spark, state_dir)
-        if cur is None:
-            merged = delta.select(
+        delta = (
+            out.join(inn, "id", "full")
+            .select(
                 "id",
-                F.col("d_out").alias("outdeg"),
-                F.col("d_in").alias("indeg"),
+                F.coalesce("d_out", F.lit(0)).alias("d_out"),
+                F.coalesce("d_in", F.lit(0)).alias("d_in"),
             )
-        else:
-            merged = (
-                cur.join(delta, "id", "full")
-                .select(
+            .withColumn("_bucket", F.pmod("id", F.lit(nb)).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        touched = sorted(
+            r["_bucket"] for r in delta.select("_bucket").distinct().collect()
+        )
+        version = manifest["version"] + 1
+        if touched:
+            cur = _current_state(spark, state_dir)
+            if cur is None:
+                merged = delta.select(
                     "id",
-                    (F.coalesce("outdeg", F.lit(0)) + F.coalesce("d_out", F.lit(0))).alias("outdeg"),
-                    (F.coalesce("indeg", F.lit(0)) + F.coalesce("d_in", F.lit(0))).alias("indeg"),
+                    F.col("d_out").alias("outdeg"),
+                    F.col("d_in").alias("indeg"),
+                    "_bucket",
                 )
+            else:
+                cur_touched = cur.filter(F.col("_bucket").isin(touched))
+                merged = (
+                    cur_touched.drop("_bucket")
+                    .join(delta.drop("_bucket"), "id", "full")
+                    .select(
+                        "id",
+                        (F.coalesce("outdeg", F.lit(0)) + F.coalesce("d_out", F.lit(0))).alias("outdeg"),
+                        (F.coalesce("indeg", F.lit(0)) + F.coalesce("d_in", F.lit(0))).alias("indeg"),
+                    )
+                    .withColumn("_bucket", F.pmod("id", F.lit(nb)).cast("int"))
+                )
+            # ONLY the touched buckets land in the new version directory
+            merged.write.mode("overwrite").partitionBy("_bucket").parquet(
+                os.path.join(state_dir, f"v{version}")
             )
-        _commit_state(merged, state_dir)
+            for b in touched:
+                manifest["buckets"][str(b)] = version
+        manifest["version"] = version
+        manifest["last_batch_id"] = batch_id
+        _write_manifest(state_dir, manifest)
 
     writer = (
         arcs.writeStream.foreachBatch(merge)

@@ -69,6 +69,28 @@ def drop_labels(g: Graph) -> Graph:
     return Graph(g.edges.select("src", "dst"), g._num_nodes, dense=g.dense)
 
 
+def relabel_arc_labels(g: Graph, conversions: dict) -> Graph:
+    """Label-type conversion view —
+    ``labelling/ArcRelabelledImmutableGraph.java`` (wraps a labelled
+    graph, converting each arc label through a type converter, e.g.
+    gamma-coded int → fixed-width int).  In Spark a label is a typed
+    column, so a conversion is a ``cast`` (type name value) or an
+    arbitrary Column expression per label column; unlisted label columns
+    pass through unchanged."""
+    cols = [F.col("src"), F.col("dst")]
+    for c in g.edges.columns:
+        if c in ("src", "dst"):
+            continue
+        conv = conversions.get(c)
+        if conv is None:
+            cols.append(F.col(c))
+        elif isinstance(conv, str):
+            cols.append(F.col(c).cast(conv).alias(c))
+        else:
+            cols.append(conv.alias(c))
+    return Graph(g.edges.select(*cols), g._num_nodes, dense=g.dense)
+
+
 # ---------------------------------------------------------------------------
 # set operations on arc sets (Transform union/transpose/symmetrize/simplify)
 # ---------------------------------------------------------------------------
@@ -87,6 +109,43 @@ def transpose(g: Graph) -> Graph:
         g._num_nodes,
         dense=g.dense,
     )
+
+
+class BidirectionalGraph:
+    """``BidirectionalImmutableGraph.java:27`` analogue: a wrapper
+    pairing a graph (``forward``) with its transpose (``backward``) so
+    predecessor-side access — in-degrees, backward reachability,
+    transpose-side HyperBall counters — reuses ONE transpose instead of
+    every caller deriving its own.  Pass a precomputed (e.g. stored)
+    transpose to avoid the swap-shuffle entirely, as the reference does
+    when both orientations are on disk."""
+
+    def __init__(self, graph: Graph, transpose_g: Graph | None = None):
+        self.forward = graph
+        self.backward = transpose_g if transpose_g is not None else transpose(graph)
+        if transpose_g is not None and graph.num_nodes() != transpose_g.num_nodes():
+            raise ValueError("graph and transpose disagree on node count")
+
+    def num_nodes(self) -> int:
+        return self.forward.num_nodes()
+
+    def num_arcs(self) -> int:
+        return self.forward.num_arcs()
+
+    def out_degrees(self, include_zero: bool = False) -> DataFrame:
+        return self.forward.out_degrees(include_zero)
+
+    def in_degrees(self, include_zero: bool = False) -> DataFrame:
+        """Implemented on the transpose, like the reference's
+        ``indegrees()``."""
+        return self.backward.out_degrees(include_zero).withColumnRenamed(
+            "outdeg", "indeg"
+        )
+
+    def transposed_view(self) -> "BidirectionalGraph":
+        """Successors become predecessors and vice versa — the
+        reference's ``transpose()`` view (no data movement)."""
+        return BidirectionalGraph(self.backward, self.forward)
 
 
 def union_graphs(g0: Graph, g1: Graph) -> Graph:
@@ -284,10 +343,15 @@ def _adjacency_keys(g: Graph) -> DataFrame:
 
 def lex_key(g: Graph) -> DataFrame:
     """(id, key) for ``Transform.lexicographicalPermutation``
-    (``Transform.java:2017-2032``): compare successor lists element-wise
-    ascending, shorter-prefix first — exactly Spark's (and DuckDB's)
-    native array ordering, so the key IS the sorted successor array."""
-    return _adjacency_keys(g).select("id", F.col("dsts").alias("key"))
+    (``Transform.java:2017-2032``): the reference comparator walks both
+    successor lists and, at the first difference, sorts the node with
+    the LARGER successor first (``t = b - a; return t < 0 ? -1 : 1`` —
+    element-wise descending), with an exhausted (shorter-prefix) list
+    first.  Encoded as an ascending-sortable array key: element i ↦
+    ``GRAY_MAXV − dst_i`` (every slot descending); prefix-first is
+    preserved because a prefix array sorts before its extensions."""
+    enc = F.transform("dsts", lambda d: F.lit(GRAY_MAXV) - d)
+    return _adjacency_keys(g).select("id", enc.alias("key"))
 
 
 def gray_key(g: Graph) -> DataFrame:

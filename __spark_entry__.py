@@ -1160,9 +1160,55 @@ def _r2_oracles() -> dict[str, str]:
 _BASE_QUERIES3 = queries
 
 
+# ===========================================================================
+# round 3: typed per-type-pair conversion gate
+# ===========================================================================
+
+from webgraph_big_spark import typed as ty  # noqa: E402
+
+
+def _typed_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Convert G1 to a typed graph (customers type 0, suppliers type 1),
+    store partitioned by (src_type, dst_type), and return per-pair arc
+    counts + the sum of per-type-dense dst ids from the STORED table —
+    gating both the pair partitioning and the ConvertToTypedGraph
+    renumbering (``typed/ConvertToTypedGraph.java:95``)."""
+    g = load_g1(spark, sf)
+    nt = g.nodes().select(
+        "id",
+        F.when(F.col("id") < 100000, 0).otherwise(1).cast("int").alias("type"),
+    )
+    base = tempfile.mkdtemp(prefix="wbs_typed_gate_")
+    ty.convert_to_typed(g, nt, base)
+    arcs = spark.read.parquet(base + "/arcs")
+    return arcs.groupBy(
+        F.col("src_type").cast("long").alias("src_type"),
+        F.col("dst_type").cast("long").alias("dst_type"),
+    ).agg(
+        F.count("*").alias("arcs"),
+        F.sum(F.col("dst_tid").cast("double")).alias("sum_tdst"),
+    )
+
+
+_TYPED_PAIRS_SQL = (
+    f"WITH e AS MATERIALIZED (SELECT src, dst FROM ({G1_SQL})), "
+    "nodes AS MATERIALIZED (SELECT DISTINCT id FROM "
+    "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e)), "
+    "typed AS MATERIALIZED (SELECT id, "
+    "CASE WHEN id < 100000 THEN 0 ELSE 1 END AS type, "
+    "row_number() OVER (PARTITION BY (CASE WHEN id < 100000 THEN 0 ELSE 1 END) "
+    "ORDER BY id) - 1 AS tid FROM nodes) "
+    "SELECT ts.type::BIGINT AS src_type, td.type::BIGINT AS dst_type, "
+    "count(*)::BIGINT AS arcs, sum(td.tid::DOUBLE) AS sum_tdst "
+    "FROM e JOIN typed ts ON e.src = ts.id JOIN typed td ON e.dst = td.id "
+    "GROUP BY ts.type, td.type"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
     q = _BASE_QUERIES3()
     q.update(_r2_queries())
+    q["typed_pairs_g1"] = _typed_pairs
     return q
 
 
@@ -1172,4 +1218,5 @@ _BASE_ORACLES3 = oracle_sql
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     o = _BASE_ORACLES3()
     o.update(_r2_oracles())
+    o["typed_pairs_g1"] = _TYPED_PAIRS_SQL
     return o

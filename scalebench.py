@@ -94,7 +94,29 @@ def child(cpus: int, parquet_dir: str, iters: int) -> None:
     from webgraph_big_spark.session import get_spark
     from webgraph_big_spark.algorithms.pagerank import pagerank
 
-    spark = get_spark(f"scale-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    # JVM sizing matched to the LEG, not the host:
+    # - GC threads = leg cores (default is ~5/8 of HOST cores, so a
+    #   local[8] leg would burn up to 23 extra cores inside GC pauses,
+    #   poisoning wall-clock and the effective-cores accounting);
+    # - -Xms=-Xmx + AlwaysPreTouch: THIS VM's dominant overhead is
+    #   kernel-side first-touch page faulting (stime up to 3-10x utime
+    #   on memory-churning work — same pathology as large numpy
+    #   allocations here), so the heap is faulted in ONCE at JVM start
+    #   (excluded from timing) instead of page-by-page during the
+    #   measured iterations.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    heap = os.environ["SPARK_DRIVER_MEMORY"]
+    spark = get_spark(
+        f"scale-{cpus}",
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.driver.extraJavaOptions": (
+                f"-Xms{heap} -XX:+AlwaysPreTouch "
+                f"-XX:ParallelGCThreads={cpus} -XX:ConcGCThreads={max(1, cpus // 4)}"
+            )
+        },
+    )
     edges = spark.read.parquet(os.path.join(parquet_dir, "edges.parquet"))
     g = Graph(edges, dense=False)
     m = g.num_arcs()
@@ -153,13 +175,19 @@ def main() -> None:
         print(f"# generated {arcs} arcs at {pq}", file=sys.stderr)
 
     runs = arg("--runs", 2)
-    per_iter: dict[int, list[float]] = {8: [], 32: []}
+    # the N / 4N pair: default local[8] vs local[32]; --lo 2 --hi 8 keeps
+    # both legs under the hypervisor's granted-core ceiling (cpuprobe has
+    # measured ~21-28/32 effective cores → a 32-thread leg can be
+    # capacity-capped no matter how well the software scales)
+    lo, hi = arg("--lo", 8), arg("--hi", 32)
+    assert hi == 4 * lo, "the rule's criterion is N vs 4N"
+    per_iter: dict[int, list[float]] = {lo: [], hi: []}
     legs: list[dict] = []
     arcs = None
     # interleave the legs so host-level CPU-steal bursts (this sandbox has
     # them) hit both parallelism levels with the same odds
     for r in range(runs):
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             out = subprocess.run(
                 [sys.executable, __file__, "--child", str(cpus), pq, str(iters)],
                 capture_output=True,
@@ -183,19 +211,20 @@ def main() -> None:
 
     # median across all interleaved iterations per level; min reported as
     # the stall-free intrinsic estimate
-    t8, t32 = median(per_iter[8]), median(per_iter[32])
+    t8, t32 = median(per_iter[lo]), median(per_iter[hi])
     eff = (t8 / t32) / 4.0
     summary = {
-        "metric": "pagerank scaling efficiency local[8] vs local[32] (median per-iteration, interleaved runs)",
+        "metric": f"pagerank scaling efficiency local[{lo}] vs local[{hi}] (median per-iteration, interleaved runs)",
+        "levels": [lo, hi],
         "t8_iter_sec": round(t8, 3),
         "t32_iter_sec": round(t32, 3),
-        "t8_iter_min_sec": min(per_iter[8]),
-        "t32_iter_min_sec": min(per_iter[32]),
-        "per_iter_8": per_iter[8],
-        "per_iter_32": per_iter[32],
+        "t8_iter_min_sec": min(per_iter[lo]),
+        "t32_iter_min_sec": min(per_iter[hi]),
+        "per_iter_8": per_iter[lo],
+        "per_iter_32": per_iter[hi],
         "speedup_8_to_32": round(t8 / t32, 3),
         "efficiency": round(eff, 3),
-        "efficiency_min_basis": round(min(per_iter[8]) / min(per_iter[32]) / 4.0, 3),
+        "efficiency_min_basis": round(min(per_iter[lo]) / min(per_iter[hi]) / 4.0, 3),
         "throughput_8": round(arcs / t8, 1),
         "throughput_32": round(arcs / t32, 1),
         "arcs": arcs,

@@ -103,6 +103,25 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+def _balanced_sum(terms: list[str]) -> str:
+    """Sum of terms with BALANCED parenthesisation — expression depth
+    log2(m), not m.  Both Spark's SQL parser and DuckDB's binder are
+    recursion-depth-bound (a flat 1024-term ``+`` chain throws
+    FAILED_TO_PARSE_TOO_COMPLEX), so the wide-register expressions nest
+    as a tree.  The SAME tree is emitted for both engines, so the float
+    association order — and therefore the gate hashes — stay identical."""
+    return _balanced_expr(terms, "+")
+
+
+def _balanced_expr(terms: list[str], op: str) -> str:
+    if len(terms) == 1:
+        return terms[0]
+    mid = len(terms) // 2
+    return (
+        f"({_balanced_expr(terms[:mid], op)} {op} {_balanced_expr(terms[mid:], op)})"
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _cfg(log2m: int) -> SimpleNamespace:
     """Per-precision expression bundle.  All multi-register expressions
@@ -119,8 +138,10 @@ def _cfg(log2m: int) -> SimpleNamespace:
         p=p,
         w_bits=HASH_BITS - log2m,
         rcols=[f"r{k}" for k in range(p)],
-        zsum=" + ".join(f"exp({-_LN2} * r{k})" for k in range(p)),
-        zeros=" + ".join(f"(CASE WHEN r{k} = 0 THEN 1 ELSE 0 END)" for k in range(p)),
+        zsum=_balanced_sum([f"exp({-_LN2} * r{k})" for k in range(p)]),
+        zeros=_balanced_sum(
+            [f"(CASE WHEN r{k} = 0 THEN 1 ELSE 0 END)" for k in range(p)]
+        ),
         est_expr=(
             f"CASE WHEN ({a * p * p} / _z) <= {2.5 * p} AND _zeros > 0 "
             f"THEN {float(p)} * ln({float(p)} / CAST(_zeros AS DOUBLE)) "
@@ -194,8 +215,11 @@ def _hyperball_loop(g: Graph, t_max: int | None, on_round, log2m: int = LOG2M):
         state = _with_est(_init_state(g, log2m), c).localCheckpoint(eager=True)
         changed = state.select("id")  # round 0: everything is new
         t = 0
-        # changed ⇔ some incoming max exceeds the old register
-        chg_expr = " OR ".join(f"coalesce(m{k}, 0) > o{k}" for k in range(c.p))
+        # changed ⇔ some incoming max exceeds the old register (balanced
+        # OR tree: parser depth log2(m), supports large register counts)
+        chg_expr = _balanced_expr(
+            [f"coalesce(m{k}, 0) > o{k}" for k in range(c.p)], "OR"
+        )
         merged_exprs = [
             f"greatest(o{k}, coalesce(m{k}, 0)) AS r{k}" for k in range(c.p)
         ]

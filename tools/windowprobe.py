@@ -19,9 +19,9 @@ def _touch(_):
     import numpy as np
 
     t0 = time.time()
-    a = np.ones(int(256e6 // 8))  # 256 MB
-    del a
-    return 256.0 / (time.time() - t0)
+    a = np.ones(int(64e6 // 8))  # 64 MB — small so the probe itself
+    del a                        # stays <60 s even at 5 MB/s fault rate
+    return 64.0 / (time.time() - t0)
 
 
 def _spin(secs):
@@ -34,7 +34,7 @@ def _spin(secs):
 
 def main():
     with mp.Pool(4) as p:
-        rates = p.map(_touch, range(4))  # 1 GB across 4 procs
+        rates = p.map(_touch, range(4))  # 256 MB across 4 procs
     ft = sum(rates)  # aggregate MB/s
     secs = 2.0
     t1 = _spin(secs)

@@ -153,6 +153,84 @@ def main() -> None:
     # NB: edges_hb stays cached — the explain at the end must still see
     # the InMemoryRelation (the script exits right after)
 
+    # 8-10. the round-4 consistency fix: WCC / label-prop / BFS rounds on
+    # the SAME co-partitioned recipe as PageRank/HyperBall (one shared
+    # helper, graph.py:co_partitioned) — state/frontier moves, edges don't
+    from webgraph_big_spark.graph import co_partitioned
+
+    edges_cc = co_partitioned(g1.edges.select("src", "dst"), "src", num_partitions=8)
+    cc_state = (
+        g1.nodes().select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    )
+    cc_msgs = (
+        edges_cc.join(
+            cc_state.select(F.col("id").alias("src"), "comp").hint("shuffle_hash"),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("comp").alias("nbr_min"))
+    )
+    cc_round = cc_state.join(cc_msgs, "id", "left").select(
+        "id", F.least("comp", F.coalesce("nbr_min", "comp")).alias("comp")
+    )
+    sections.append(
+        (
+            "WCC hash-min round (co-partitioned edges)",
+            "Expect ShuffledHashJoin with the edge side read from "
+            "InMemoryTableScan and NO Exchange above it — only the comp "
+            "state exchanges per round; HashAggregate partial/final pair "
+            "for the min-merge.",
+            cc_round,
+        )
+    )
+
+    from pyspark.sql.window import Window
+
+    lp_state = (
+        g1.nodes().select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    )
+    lp_votes = (
+        edges_cc.join(
+            lp_state.select(F.col("id").alias("src"), "label").hint("shuffle_hash"),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("id"), "label")
+        .agg(F.count("*").alias("cnt"))
+    )
+    lp_w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+    lp_round = (
+        lp_votes.withColumn("_rn", F.row_number().over(lp_w))
+        .filter(F.col("_rn") == 1)
+        .select("id", F.col("label").alias("new_label"))
+    )
+    sections.append(
+        (
+            "Label propagation round (co-partitioned edges)",
+            "Expect the edge side from InMemoryTableScan with NO Exchange "
+            "above it; the vote count aggregates partial/final; the window "
+            "argmax runs over the (node,label,cnt) table, never the edges.",
+            lp_round,
+        )
+    )
+
+    frontier = g1.nodes().limit(50).select("id").localCheckpoint(eager=True)
+    bfs_level = (
+        edges_cc.join(
+            frontier.select(F.col("id").alias("src")).hint("shuffle_hash"), "src"
+        )
+        .select(F.col("dst").alias("id"))
+        .distinct()
+        .join(frontier, "id", "left_anti")
+    )
+    sections.append(
+        (
+            "BFS level expansion (co-partitioned edges)",
+            "Expect the edge side from InMemoryTableScan with NO Exchange "
+            "above it — only the frontier exchanges per level.",
+            bfs_level,
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of flagship operators\n"]
     out.append(
         "Captured by `tools/explain_plans.py` at sf dir `%s`. Each section notes\n"

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from webgraph_big_spark.graph import Graph
+from webgraph_big_spark.graph import Graph, co_partitioned
 from webgraph_big_spark.transforms import symmetrize
 
 
@@ -38,7 +38,9 @@ def bfs_distances(
     """
     spark = g.edges.sparkSession
     gs = g if symmetric else symmetrize(g)
-    edges = gs.edges.select("src", "dst").cache()
+    # hash-partitioned by the expansion key and pinned: per level only
+    # the frontier moves (see co_partitioned for the full recipe)
+    edges = co_partitioned(gs.edges.select("src", "dst"), "src")
 
     if isinstance(sources, DataFrame):
         src_df = sources.select(F.col("id").cast("long"))
@@ -54,7 +56,11 @@ def bfs_distances(
     limit = fixed_rounds if fixed_rounds is not None else max_depth
     while depth < limit:
         depth += 1
-        expand = edges.join(frontier.select(F.col("id").alias("src")), "src")
+        # shuffle_hash on the stats-less frontier — without it Catalyst
+        # plans SMJ and re-Exchanges the cached edge table every level
+        expand = edges.join(
+            frontier.select(F.col("id").alias("src")).hint("shuffle_hash"), "src"
+        )
         if parents:
             nxt_base = expand.groupBy(F.col("dst").alias("id")).agg(
                 F.min("src").alias("parent")

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from webgraph_big_spark.checkpoint import IterativeRunner
-from webgraph_big_spark.graph import Graph
+from webgraph_big_spark.graph import Graph, co_partitioned
 from webgraph_big_spark.transforms import symmetrize
 
 
@@ -48,7 +48,9 @@ def connected_components(
     """
     spark = g.edges.sparkSession
     gs = g if symmetric else symmetrize(g)
-    edges = gs.edges.select("src", "dst").cache()
+    # hash-partitioned by the per-round join key and pinned: only state
+    # rows move per round (see co_partitioned for the full recipe)
+    edges = co_partitioned(gs.edges.select("src", "dst"), "src")
 
     # dense graphs expose the FULL [0, n) node set whether or not n was
     # declared (g.nodes() derives it) — so isolated/gap ids get the same
@@ -62,8 +64,14 @@ def connected_components(
         return nodes.select("id", F.col("id").alias("comp"))
 
     def step(state: DataFrame, it: int):
+        # shuffle_hash on the state side: post-checkpoint state has no
+        # stats → without the hint Catalyst plans SMJ and re-Exchanges
+        # the cached edge table every round
         msgs = (
-            edges.join(state.select(F.col("id").alias("src"), "comp"), "src")
+            edges.join(
+                state.select(F.col("id").alias("src"), "comp").hint("shuffle_hash"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("nbr_min"))
         )

@@ -207,10 +207,11 @@ def _hyperball_loop(g: Graph, t_max: int | None, on_round, log2m: int = LOG2M):
     c = _cfg(log2m)
     spark = g.edges.sparkSession
     k_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = (
-        g.edges.select("src", "dst").distinct().repartition(k_part, "dst").cache()
+    from webgraph_big_spark.graph import co_partitioned
+
+    edges = co_partitioned(
+        g.edges.select("src", "dst").distinct(), "dst", num_partitions=k_part
     )
-    edges.count()  # materialize: partitioning lives in the InMemoryRelation
     try:
         state = _with_est(_init_state(g, log2m), c).localCheckpoint(eager=True)
         changed = state.select("id")  # round 0: everything is new

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from webgraph_big_spark.checkpoint import IterativeRunner
-from webgraph_big_spark.graph import Graph
+from webgraph_big_spark.graph import Graph, co_partitioned
 from webgraph_big_spark.transforms import symmetrize
 
 
@@ -43,7 +43,9 @@ def label_propagation(
     fixpoint if ``until_stable``)."""
     spark = g.edges.sparkSession
     gs = g if symmetric else symmetrize(g)
-    edges = gs.edges.select("src", "dst").cache()
+    # hash-partitioned by the per-round join key and pinned: only label
+    # rows move per round (see co_partitioned for the full recipe)
+    edges = co_partitioned(gs.edges.select("src", "dst"), "src")
     nodes = g.nodes().cache()
 
     def initial() -> DataFrame:
@@ -56,8 +58,13 @@ def label_propagation(
     w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
 
     def step(labels: DataFrame, it: int):
+        # shuffle_hash on the stats-less state side — without it each
+        # round falls back to SMJ and re-Exchanges the cached edges
         votes = (
-            edges.join(labels.select(F.col("id").alias("src"), "label"), "src")
+            edges.join(
+                labels.select(F.col("id").alias("src"), "label").hint("shuffle_hash"),
+                "src",
+            )
             .groupBy(F.col("dst").alias("id"), "label")
             .agg(F.count("*").alias("cnt"))
         )

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from webgraph_big_spark.checkpoint import IterativeRunner
-from webgraph_big_spark.graph import Graph
+from webgraph_big_spark.graph import Graph, co_partitioned
 
 
 def pagerank(
@@ -92,14 +92,12 @@ def pagerank(
         # irrelevant when ranks are broadcast).
         edges_w = edges_base.repartition(spark_parallelism).localCheckpoint(eager=True)
     else:
-        # co-partition path: hash-partition by src once.  cache(), NOT
-        # localCheckpoint: InMemoryRelation preserves the child's hash
-        # partitioning (LogicalRDD does not), so each iteration's join
-        # satisfies its distribution requirement from the cache and only
-        # the rank side is exchanged.  The plan is static (one degree
-        # join), so cache's lineage retention costs nothing per round.
-        edges_w = edges_base.repartition(spark_parallelism, "src").cache()
-        edges_w.count()  # materialize now, off the per-iteration path
+        # co-partition path — see co_partitioned for the full recipe:
+        # each iteration's join satisfies its distribution requirement
+        # from the cache and only the rank side is exchanged.
+        edges_w = co_partitioned(
+            edges_base, "src", num_partitions=spark_parallelism
+        )
 
     def initial() -> DataFrame:
         return g.nodes().select("id", F.lit(1.0 / n).alias("rank"))

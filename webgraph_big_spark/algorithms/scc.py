@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from webgraph_big_spark.graph import Graph
+from webgraph_big_spark.graph import Graph, co_partitioned
 
 
 def bounded_closure(g: Graph, t: int) -> DataFrame:
@@ -67,20 +67,28 @@ def _reach(edges: DataFrame, seeds: DataFrame, forward: bool = True) -> DataFram
     ``edges`` (or against them when ``forward=False``).  O(diameter)
     rounds, O(|reached|) state — never materializes pairs."""
     s, d = ("src", "dst") if forward else ("dst", "src")
+    # pin the edge table hash-partitioned by the expansion key for the
+    # loop's lifetime: per round only the frontier moves
+    pinned = co_partitioned(edges, s)
     visited = seeds.select("id").distinct().localCheckpoint(eager=True)
     frontier = visited
-    while True:
-        nxt = (
-            edges.join(frontier.withColumnRenamed("id", s), s)
-            .select(F.col(d).alias("id"))
-            .distinct()
-            .join(visited, "id", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            return visited
-        visited = visited.union(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    try:
+        while True:
+            nxt = (
+                pinned.join(
+                    frontier.withColumnRenamed("id", s).hint("shuffle_hash"), s
+                )
+                .select(F.col(d).alias("id"))
+                .distinct()
+                .join(visited, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                return visited
+            visited = visited.union(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        pinned.unpersist()
 
 
 def _peel_trivial(edges: DataFrame, nodes: DataFrame, max_rounds: int = 64):
@@ -175,11 +183,18 @@ def strongly_connected_components_fwbw(
             )
             continue
 
-        # coloring phase: forward max-propagation to fixpoint
+        # coloring phase: forward max-propagation to fixpoint — edges
+        # pinned by the round's join key so only color rows move
+        fwd = co_partitioned(edges, "src")
         color = nodes.select("id", F.col("id").alias("color")).localCheckpoint(eager=True)
         while True:
             msgs = (
-                edges.join(color.select(F.col("id").alias("src"), "color"), "src")
+                fwd.join(
+                    color.select(F.col("id").alias("src"), "color").hint(
+                        "shuffle_hash"
+                    ),
+                    "src",
+                )
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.max("color").alias("mx"))
             )
@@ -196,13 +211,20 @@ def strongly_connected_components_fwbw(
             color = new_color
             if n_changed == 0:
                 break
+        fwd.unpersist()
         # multi-source backward reach from every color root, within class
+        bwd = co_partitioned(edges, "dst")
         roots = color.filter(F.col("id") == F.col("color")).select("id", "color")
         member = roots.localCheckpoint(eager=True)
         frontier = member
         while True:
             nxt = (
-                edges.join(frontier.select(F.col("id").alias("dst"), "color"), "dst")
+                bwd.join(
+                    frontier.select(F.col("id").alias("dst"), "color").hint(
+                        "shuffle_hash"
+                    ),
+                    "dst",
+                )
                 .select(F.col("src").alias("id"), "color")
                 .distinct()
                 .join(color.withColumnRenamed("color", "c2"), "id")
@@ -215,6 +237,7 @@ def strongly_connected_components_fwbw(
                 break
             member = member.union(nxt).localCheckpoint(eager=True)
             frontier = nxt
+        bwd.unpersist()
         # comp label = min id within each discovered SCC (root's class)
         comp_of = member.groupBy("color").agg(F.min("id").alias("comp"))
         assigned = member.join(comp_of, "color").select("id", "comp").localCheckpoint(eager=True)

@@ -41,6 +41,38 @@ ARC_SCHEMA = T.StructType(
 )
 
 
+def co_partitioned(
+    df: DataFrame, *keys: str, num_partitions: int | None = None
+) -> DataFrame:
+    """Pin a STATIC relation hash-partitioned by ``keys`` for an
+    iterative loop — the shared recipe behind every per-round join that
+    must NOT re-exchange the big side (PageRank, HyperBall, WCC, label
+    propagation, BFS, SCC; the reference's whole scaling story is the
+    same idea — ``algo/HyperBall.java:96-135``'s systolic iteration
+    exists precisely to stop touching unchanged data each round).
+
+    Recipe (and why each part matters):
+
+    - ``repartition(k, *keys)`` + ``cache()``, NOT ``localCheckpoint``:
+      InMemoryRelation preserves the child's hash ``outputPartitioning``
+      (a LogicalRDD does not), so every later join keyed on ``keys``
+      satisfies its distribution requirement straight from the cache.
+    - the eager ``count()`` materializes the cache OFF the per-round
+      path.
+    - callers must pair each per-round join with a ``shuffle_hash`` hint
+      on the SMALL (state/frontier) side: post-``localCheckpoint`` state
+      has no size statistics, so Catalyst left alone would plan a
+      sort-merge join that re-Exchanges this big side every round.
+
+    Callers own the cache: ``unpersist()`` when the loop finishes.
+    """
+    spark = df.sparkSession
+    k = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pinned = df.repartition(k, *keys).cache()
+    pinned.count()
+    return pinned
+
+
 class Graph:
     """An immutable directed graph over an ``edges(src, dst)`` DataFrame.
 

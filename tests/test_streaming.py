@@ -99,28 +99,65 @@ def test_bucketed_state_partial_rewrite(spark, tmp_path):
 
 
 def test_replayed_batch_is_noop(spark, tmp_path):
-    """foreachBatch is at-least-once; the manifest's last_batch_id makes
-    the merge idempotent — replaying an applied batch (fresh checkpoint,
-    same source) must not double-count."""
-    src = str(tmp_path / "arcs4")
+    """foreachBatch is at-least-once; the manifest's (checkpoint_id,
+    last_batch_id) pair makes the merge idempotent — re-applying an
+    already-applied batch_id FROM THE SAME checkpoint lineage (the
+    crash-between-state-commit-and-checkpoint-commit shape) must not
+    double-count."""
     state = str(tmp_path / "state4")
-
-    _write_batch(src, "b0.parquet", [(0, 1, "2024-01-01 00:00:00"),
-                                     (0, 2, "2024-01-01 00:01:00")])
-    q = st.incremental_degrees(
-        st.stream_arc_files(spark, src), state, str(tmp_path / "ck_a"),
-        available_now=True,
-    )
-    q.awaitTermination(120)
-    # replay the same batch as batch_id 0 again (crash-recovery shape)
-    q = st.incremental_degrees(
-        st.stream_arc_files(spark, src), state, str(tmp_path / "ck_b"),
-        available_now=True,
-    )
-    q.awaitTermination(120)
+    ck = os.path.abspath(str(tmp_path / "ck_a"))
+    batch = spark.createDataFrame([(0, 1), (0, 2)], "src long, dst long")
+    st._merge_degree_batch(batch, 0, state, ck)
+    st._merge_degree_batch(batch, 0, state, ck)  # replay, same lineage
     got = {r["id"]: (r["outdeg"], r["indeg"])
            for r in st.read_degree_state(spark, state).collect()}
-    # without the batch_id no-op this would double to {0:(4,0),1:(0,2),2:(0,2)}
+    # without the guard this would double to {0:(4,0),1:(0,2),2:(0,2)}
+    assert got == {0: (2, 0), 1: (0, 1), 2: (0, 1)}
+
+
+def test_foreign_checkpoint_raises_and_rebind(spark, tmp_path):
+    """Batch ids are only monotonic within one checkpoint lineage: a
+    batch arriving from a DIFFERENT checkpoint must raise (silently
+    no-oping it would lose data), and rebind_state_checkpoint() is the
+    deliberate adoption path."""
+    import pytest
+
+    state = str(tmp_path / "state5")
+    ck_a = os.path.abspath(str(tmp_path / "ck_a"))
+    ck_b = os.path.abspath(str(tmp_path / "ck_b"))
+    b0 = spark.createDataFrame([(0, 1)], "src long, dst long")
+    st._merge_degree_batch(b0, 0, state, ck_a)
+    b1 = spark.createDataFrame([(0, 2)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="rebind_state_checkpoint"):
+        st._merge_degree_batch(b1, 0, state, ck_b)
+    # state untouched by the refused batch
+    got = {r["id"]: (r["outdeg"], r["indeg"])
+           for r in st.read_degree_state(spark, state).collect()}
+    assert got == {0: (1, 0), 1: (0, 1)}
+    st.rebind_state_checkpoint(state, ck_b)
+    st._merge_degree_batch(b1, 0, state, ck_b)  # now accepted
+    got = {r["id"]: (r["outdeg"], r["indeg"])
+           for r in st.read_degree_state(spark, state).collect()}
+    assert got == {0: (2, 0), 1: (0, 1), 2: (0, 1)}
+
+
+def test_version_gc_sweeps_superseded_dirs(spark, tmp_path):
+    """Superseded version directories are deleted after the manifest
+    flip and the surviving state still reads back correctly — storage is
+    bounded by live bucket copies, not stream lifetime."""
+    state = str(tmp_path / "state6")
+    ck = os.path.abspath(str(tmp_path / "ck"))
+    # n_buckets=1: every batch rewrites the single bucket, so each new
+    # version fully supersedes the previous directory
+    b0 = spark.createDataFrame([(0, 1)], "src long, dst long")
+    st._merge_degree_batch(b0, 0, state, ck, n_buckets=1)
+    assert os.path.isdir(os.path.join(state, "v0"))
+    b1 = spark.createDataFrame([(0, 2)], "src long, dst long")
+    st._merge_degree_batch(b1, 1, state, ck, n_buckets=1)
+    assert os.path.isdir(os.path.join(state, "v1"))
+    assert not os.path.exists(os.path.join(state, "v0"))  # swept
+    got = {r["id"]: (r["outdeg"], r["indeg"])
+           for r in st.read_degree_state(spark, state).collect()}
     assert got == {0: (2, 0), 1: (0, 1), 2: (0, 1)}
 
 

@@ -129,9 +129,24 @@ def global_cumsum(
     Arrow-batched ``mapInPandas``.  No stage ever sorts or scans more
     than one partition's rows serially.
     """
+    from pyspark.sql import types as T
+
     spark = df.sparkSession
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # the accumulator type follows the value column (an int64 cast on a
+    # double column would silently truncate and compound across batches)
+    vtype = df.schema[value].dataType
+    if isinstance(vtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        run_type, np_type, sql_type, py = T.LongType(), "int64", "long", int
+    elif isinstance(vtype, (T.DoubleType, T.FloatType)):
+        run_type, np_type, sql_type, py = T.DoubleType(), "float64", "double", float
+    else:
+        raise TypeError(
+            f"global_cumsum: value column {value!r} has type "
+            f"{vtype.simpleString()}; only integral and floating columns "
+            "are supported"
+        )
     arranged = (
         df.repartitionByRange(partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -140,33 +155,32 @@ def global_cumsum(
         # for the per-partition-sum job and the running-sum job
         .localCheckpoint(eager=True)
     )
-    from pyspark.sql import types as T
-
     out_schema = T.StructType(
-        list(arranged.schema.fields) + [T.StructField("_run", T.LongType())]
+        list(arranged.schema.fields) + [T.StructField("_run", run_type)]
     )
 
     def add_running(it):
-        acc = 0
+        acc = py(0)
         for pdf in it:
             run = pdf[value].cumsum() + acc
-            acc = int(run.iloc[-1]) if len(run) else acc
-            yield pdf.assign(_run=run.astype("int64"))
+            acc = py(run.iloc[-1]) if len(run) else acc
+            yield pdf.assign(_run=run.astype(np_type))
 
     with_run = arranged.mapInPandas(add_running, schema=out_schema)
     sums = arranged.groupBy("_pid").agg(F.sum(value).alias("s")).collect()
-    offsets, acc = {}, 0
+    offsets, acc = {}, py(0)
     for row in sorted(sums, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = acc
-        acc += int(row["s"] or 0)
+        acc += py(row["s"] or 0)
     off_df = F.broadcast(
         spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+            [(int(p), py(o)) for p, o in offsets.items()],
+            f"_pid int, _off {sql_type}",
         )
     )
     return (
         with_run.join(off_df, "_pid")
-        .withColumn(out, (F.col("_off") + F.col("_run")).cast("long"))
+        .withColumn(out, (F.col("_off") + F.col("_run")).cast(sql_type))
         .drop("_pid", "_run", "_off")
     )
 

@@ -306,6 +306,10 @@ class Graph:
         (``labelling/BitStreamArcLabelledImmutableGraph.java:147``:
         labels are stored arc-ordered alongside the successor stream)."""
         label_cols = [c for c in self.edges.columns if c not in ("src", "dst")]
+        if not label_cols:
+            # GroupedData.agg rejects an empty aggregate list — an
+            # unlabelled graph's "labelled" CSR is just its CSR
+            return self.adjacency()
         arr = F.sort_array(
             F.collect_list(F.struct(F.col("dst"), *[F.col(c) for c in label_cols]))
         )

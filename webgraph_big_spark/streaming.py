@@ -33,15 +33,25 @@ the aggregate restart-safe and rescalable).
 Exactly-once: ``foreachBatch`` itself is only at-least-once (a crash
 between the state commit and the streaming checkpoint commit replays
 the batch), so the manifest also records the last applied ``batch_id``
-and :func:`incremental_degrees`' merge is a no-op for
-``batch_id <= last_batch_id`` — the state transition is idempotent
-under replay.
+*and the checkpoint lineage it belongs to* — batch ids are only
+monotonic within one checkpoint directory, so the replay no-op for
+``batch_id <= last_batch_id`` applies ONLY when the lineage matches;
+a different checkpoint against existing state raises loudly instead of
+silently dropping legitimate batches (use
+:func:`rebind_state_checkpoint` to relocate a checkpoint on purpose).
+
+Garbage collection: every micro-batch writes its touched buckets into a
+new ``v{N}`` directory and flips the manifest; version directories no
+longer referenced by any bucket are swept right after the flip, so
+state storage is bounded by one live copy per bucket (plus the version
+being written), not by stream lifetime.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -100,6 +110,122 @@ def read_degree_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return cur.select("id", "outdeg", "indeg")
 
 
+def rebind_state_checkpoint(state_dir: str, checkpoint_dir: str) -> None:
+    """Deliberately adopt an existing state table under a NEW streaming
+    checkpoint (checkpoint loss/relocation).  Resets the replay guard:
+    the caller asserts the new query's source contains only data not yet
+    folded into the state — replaying already-applied arcs from the new
+    lineage WILL double-count."""
+    manifest = _read_manifest(state_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no state manifest under {state_dir}")
+    manifest["checkpoint_id"] = os.path.abspath(checkpoint_dir)
+    manifest["last_batch_id"] = -1
+    _write_manifest(state_dir, manifest)
+
+
+def _gc_versions(state_dir: str, manifest: dict) -> None:
+    """Remove version directories no longer referenced by any bucket —
+    runs after the manifest pointer flip, so readers that re-resolve the
+    manifest never touch a swept directory."""
+    live = {int(v) for v in manifest["buckets"].values()}
+    for name in os.listdir(state_dir):
+        if (
+            name.startswith("v")
+            and name[1:].isdigit()
+            and int(name[1:]) not in live
+        ):
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+
+def _merge_degree_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    checkpoint_id: str,
+    n_buckets: int = STATE_BUCKETS,
+) -> None:
+    """One micro-batch's state transition (the ``foreachBatch`` body of
+    :func:`incremental_degrees`, module-level so replay/lineage behavior
+    is directly testable)."""
+    spark = batch.sparkSession
+    manifest = _read_manifest(state_dir) or {
+        "version": -1,
+        "last_batch_id": -1,
+        "n_buckets": n_buckets,
+        "buckets": {},
+        "checkpoint_id": checkpoint_id,
+    }
+    if manifest.get("checkpoint_id") != checkpoint_id:
+        # batch ids are only monotonic within one checkpoint lineage: a
+        # fresh checkpoint restarts them at 0, so the <= guard below
+        # would silently no-op legitimate batches.  Fail loudly.
+        raise RuntimeError(
+            f"state table {state_dir} belongs to streaming checkpoint "
+            f"{manifest.get('checkpoint_id')!r} but this query runs under "
+            f"{checkpoint_id!r}; refusing to apply batch {batch_id} "
+            "(the replay guard cannot distinguish it from a duplicate). "
+            "Call rebind_state_checkpoint(state_dir, checkpoint_dir) to "
+            "adopt the state under the new checkpoint deliberately."
+        )
+    if batch_id <= manifest["last_batch_id"]:
+        return  # replayed batch (foreachBatch is at-least-once): no-op
+    nb = manifest["n_buckets"]
+    out = batch.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("d_out")
+    )
+    inn = batch.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("d_in")
+    )
+    delta = (
+        out.join(inn, "id", "full")
+        .select(
+            "id",
+            F.coalesce("d_out", F.lit(0)).alias("d_out"),
+            F.coalesce("d_in", F.lit(0)).alias("d_in"),
+        )
+        .withColumn("_bucket", F.pmod("id", F.lit(nb)).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(
+        r["_bucket"] for r in delta.select("_bucket").distinct().collect()
+    )
+    version = manifest["version"] + 1
+    if touched:
+        cur = _current_state(spark, state_dir)
+        if cur is None:
+            merged = delta.select(
+                "id",
+                F.col("d_out").alias("outdeg"),
+                F.col("d_in").alias("indeg"),
+                "_bucket",
+            )
+        else:
+            cur_touched = cur.filter(F.col("_bucket").isin(touched))
+            merged = (
+                cur_touched.drop("_bucket")
+                .join(delta.drop("_bucket"), "id", "full")
+                .select(
+                    "id",
+                    (F.coalesce("outdeg", F.lit(0)) + F.coalesce("d_out", F.lit(0))).alias("outdeg"),
+                    (F.coalesce("indeg", F.lit(0)) + F.coalesce("d_in", F.lit(0))).alias("indeg"),
+                )
+                .withColumn("_bucket", F.pmod("id", F.lit(nb)).cast("int"))
+            )
+        # ONLY the touched buckets land in the new version directory
+        merged.write.mode("overwrite").partitionBy("_bucket").parquet(
+            os.path.join(state_dir, f"v{version}")
+        )
+        for b in touched:
+            manifest["buckets"][str(b)] = version
+    manifest["version"] = version
+    manifest["last_batch_id"] = batch_id
+    _write_manifest(state_dir, manifest)
+    # sweep superseded version directories AFTER the pointer flip —
+    # bounds storage at one live copy per bucket
+    _gc_versions(state_dir, manifest)
+
+
 def incremental_degrees(
     arcs: DataFrame,
     state_dir: str,
@@ -114,68 +240,10 @@ def incremental_degrees(
     testable/batch-catchup trigger.  ``n_buckets`` applies to a NEW
     state table; an existing table keeps its recorded bucket count.
     """
-    spark = arcs.sparkSession
+    checkpoint_id = os.path.abspath(checkpoint_dir)
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        manifest = _read_manifest(state_dir) or {
-            "version": -1,
-            "last_batch_id": -1,
-            "n_buckets": n_buckets,
-            "buckets": {},
-        }
-        if batch_id <= manifest["last_batch_id"]:
-            return  # replayed batch (foreachBatch is at-least-once): no-op
-        nb = manifest["n_buckets"]
-        out = batch.groupBy(F.col("src").alias("id")).agg(
-            F.count("*").alias("d_out")
-        )
-        inn = batch.groupBy(F.col("dst").alias("id")).agg(
-            F.count("*").alias("d_in")
-        )
-        delta = (
-            out.join(inn, "id", "full")
-            .select(
-                "id",
-                F.coalesce("d_out", F.lit(0)).alias("d_out"),
-                F.coalesce("d_in", F.lit(0)).alias("d_in"),
-            )
-            .withColumn("_bucket", F.pmod("id", F.lit(nb)).cast("int"))
-            .localCheckpoint(eager=True)
-        )
-        touched = sorted(
-            r["_bucket"] for r in delta.select("_bucket").distinct().collect()
-        )
-        version = manifest["version"] + 1
-        if touched:
-            cur = _current_state(spark, state_dir)
-            if cur is None:
-                merged = delta.select(
-                    "id",
-                    F.col("d_out").alias("outdeg"),
-                    F.col("d_in").alias("indeg"),
-                    "_bucket",
-                )
-            else:
-                cur_touched = cur.filter(F.col("_bucket").isin(touched))
-                merged = (
-                    cur_touched.drop("_bucket")
-                    .join(delta.drop("_bucket"), "id", "full")
-                    .select(
-                        "id",
-                        (F.coalesce("outdeg", F.lit(0)) + F.coalesce("d_out", F.lit(0))).alias("outdeg"),
-                        (F.coalesce("indeg", F.lit(0)) + F.coalesce("d_in", F.lit(0))).alias("indeg"),
-                    )
-                    .withColumn("_bucket", F.pmod("id", F.lit(nb)).cast("int"))
-                )
-            # ONLY the touched buckets land in the new version directory
-            merged.write.mode("overwrite").partitionBy("_bucket").parquet(
-                os.path.join(state_dir, f"v{version}")
-            )
-            for b in touched:
-                manifest["buckets"][str(b)] = version
-        manifest["version"] = version
-        manifest["last_batch_id"] = batch_id
-        _write_manifest(state_dir, manifest)
+        _merge_degree_batch(batch, batch_id, state_dir, checkpoint_id, n_buckets)
 
     writer = (
         arcs.writeStream.foreachBatch(merge)

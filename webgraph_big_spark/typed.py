@@ -67,7 +67,7 @@ def convert_to_typed(
     node_types: DataFrame,
     basename: str,
     type_graph: DataFrame | None = None,
-    buckets_per_pair: int = 1,
+    write_partitions: int | None = None,
 ) -> dict:
     """``ConvertToTypedGraph.convert`` analogue.
 
@@ -84,6 +84,16 @@ def convert_to_typed(
     - ``basename/meta.json``: per-type node counts + per-pair arc
       counts (the ``.properties`` ``nodes``/``arcs`` matrices) + the
       dropped-arc count.
+
+    ``write_partitions`` (default: ``spark.sql.shuffle.partitions``)
+    sizes the conversion's write stage.  The write range-partitions on
+    (src_type, dst_type, src_tid): each type pair spans MANY contiguous
+    src_tid ranges, so a 2-type graph still writes through all tasks —
+    hashing on the pair columns alone would funnel the whole table
+    through ≤ #distinct-pairs tasks (the reference parallelizes per-pair
+    streams the same way, ``typed/ConvertToTypedGraph.java:61``), while
+    the ``partitionBy`` clause keeps the per-pair file layout and the
+    range keys keep per-file (src_tid, dst_tid) clustering.
 
     Returns the meta dict.
     """
@@ -109,8 +119,11 @@ def convert_to_typed(
         pack_node(F.col("src_type"), F.col("src_tid")).alias("src_packed"),
         pack_node(F.col("dst_type"), F.col("dst_tid")).alias("dst_packed"),
     )
+    spark = g.edges.sparkSession
+    if write_partitions is None:
+        write_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     (
-        out.repartition(buckets_per_pair, "src_type", "dst_type")
+        out.repartitionByRange(write_partitions, "src_type", "dst_type", "src_tid")
         .sortWithinPartitions("src_type", "dst_type", "src_tid", "dst_tid")
         .write.mode("overwrite")
         .partitionBy("src_type", "dst_type")

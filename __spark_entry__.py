@@ -859,6 +859,9 @@ from webgraph_big_spark.algorithms.hyperball import (  # noqa: E402
     hyperball_centralities,
     hyperball_centralities_sql,
 )
+from webgraph_big_spark.algorithms.hyperball_packed import (  # noqa: E402
+    hyperball_registers_packed as _hb_packed,
+)
 from webgraph_big_spark.algorithms.scc import (  # noqa: E402
     strongly_connected_components_fwbw,
     scc_buckets,
@@ -948,13 +951,29 @@ def _r2_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hyperball_regs_m16_g2"] = lambda spark, sf: hyperball_registers(
         load_g2(spark, sf), HB_T, log2m=4
     )
+    # packed-register variant (8 six-bit registers per long, bit-sliced
+    # max-merge — hyperball_packed.py lifts the column design's plan-width
+    # precision ceiling): same register values, same oracle; the m=256
+    # gate runs ABOVE the default column precision
+    q["hyperball_regs_packed_g2"] = lambda spark, sf: _hb_packed(
+        load_g2(spark, sf), HB_T
+    )
+    q["hyperball_regs_packed_m256_g2"] = lambda spark, sf: _hb_packed(
+        load_g2(spark, sf), HB_T, log2m=8
+    )
     # HLL centralities: the estimator is a deterministic SQL expression,
     # so the unrolled transpose-side register recursion + per-round est
-    # deltas reproduce it exactly (hyperball_centralities_sql)
+    # deltas reproduce it exactly (hyperball_centralities_sql).  All five
+    # columns are gated; the ratio-derived ones (closeness/lin/
+    # discounted) quantize at 2 dp — ratios amplify libm ULP divergence
+    # between JVM and DuckDB, so the hash gate uses a coarser digit there.
     q["hyperball_centralities_g2"] = lambda spark, sf: hyperball_centralities(
-        load_g2(spark, sf), t_max=4
+        load_g2(spark, sf), t_max=4, discount=lambda t: 0.5**t
     ).select("id", F.round("reachable", 3).alias("reachable"),
-             F.round("harmonic", 3).alias("harmonic"))
+             F.round("harmonic", 3).alias("harmonic"),
+             F.round("closeness", 2).alias("closeness"),
+             F.round("lin", 2).alias("lin"),
+             F.round("discounted", 2).alias("discounted"))
 
     q["scc_fwbw_g5"] = lambda spark, sf: strongly_connected_components_fwbw(
         load_g5(spark, sf)
@@ -1127,7 +1146,15 @@ def _r2_oracles() -> dict[str, str]:
     o["bfs_parents_g2"] = _bfs_parents_sql(G2_SQL, BFS_ROUNDS)
     o["hyperball_regs_g2"] = hyperball_registers_sql(G2_SQL, HB_T)
     o["hyperball_regs_m16_g2"] = hyperball_registers_sql(G2_SQL, HB_T, log2m=4)
-    o["hyperball_centralities_g2"] = hyperball_centralities_sql(G2_SQL, 4)
+    # the packed variants hash against the SAME unrolled register oracle
+    # (identical register values, only the Spark-side layout differs)
+    o["hyperball_regs_packed_g2"] = hyperball_registers_sql(G2_SQL, HB_T)
+    o["hyperball_regs_packed_m256_g2"] = hyperball_registers_sql(
+        G2_SQL, HB_T, log2m=8
+    )
+    o["hyperball_centralities_g2"] = hyperball_centralities_sql(
+        G2_SQL, 4, full=True, discount_weights=[0.5**t for t in range(1, 5)]
+    )
     o["scc_fwbw_g5"] = _scc_sql(G5_SQL, 8)
     o["scc_buckets_g3"] = (
         _scc_sql(G3_SQL, SCC_T).replace(

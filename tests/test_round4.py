@@ -64,6 +64,30 @@ def test_adjacency_labelled_unlabelled_graph(spark):
     assert rows == {0: [1, 2], 1: [2]}
 
 
+def test_pagerank_salted_matches_unsalted(spark):
+    """salt_buckets changes the physical layout (hub arcs spread over
+    salt partitions, rank side replicated) but NOT the numbers."""
+    from webgraph_big_spark.algorithms.pagerank import pagerank
+
+    pairs = [(0, i) for i in range(1, 40)] + [(i, (i + 1) % 40) for i in range(40)]
+    g = Graph.from_pairs(spark, pairs, num_nodes=40)
+    base = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            g, fixed_iterations=5, broadcast_threshold_bytes=1
+        ).collect()
+    }
+    salted = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            g, fixed_iterations=5, broadcast_threshold_bytes=1, salt_buckets=4
+        ).collect()
+    }
+    assert set(base) == set(salted)
+    for i in base:
+        assert salted[i] == pytest.approx(base[i], rel=1e-12)
+
+
 def test_co_partitioned_preserves_partitioning(spark):
     """The pinned relation must satisfy a same-key join's distribution
     requirement from the cache: the join plan contains no Exchange above

@@ -1,0 +1,142 @@
+"""cnr-2000 end-to-end validation — the reference's own golden web graph.
+
+The reference's slow tests load ``cnr-2000`` (325,557 nodes / 3,216,152
+arcs, ``slow/it/unimi/dsi/big/webgraph/cnr-2000.graph-txt.gz`` with the
+ground truth in ``cnr-2000.properties:4-5``) and run components /
+HyperBall on it (``slow/.../algo/ConnectedComponentsSlowTest.java:31-36``,
+``slow/.../algo/HyperBallSlowTest.java``).  This runner ingests the same
+fixture with :func:`Graph.from_adjacency_text` and validates:
+
+- exact node/arc counts vs ``cnr-2000.properties``;
+- ``graph_stats`` scalars;
+- WCC via hash-min AND via large/small-star — the two algorithms must
+  produce the SAME partition (the cross-check the reference's
+  ``ConnectedComponentsSlowTest`` does between its CC and an
+  independently computed union-find);
+- SCC (FW-BW scale path) and the SCC⊆WCC containment invariant;
+- HyperBall (m = 64 registers, the slow test's configuration) run to
+  convergence — the t→∞ neighbourhood-function estimate must approach
+  the exact count of reachable pairs' upper bound plausibly (we assert
+  the estimate is within HLL error of n² reachable-pair mass ONLY in
+  relative-growth terms: monotone, converged).
+
+Usage: python tools/cnr2000.py [--skip-scc]   (writes one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CNR_TXT = "/root/reference/slow/it/unimi/dsi/big/webgraph/cnr-2000.graph-txt.gz"
+CNR_NODES = 325_557
+CNR_ARCS = 3_216_152
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from webgraph_big_spark.session import get_spark
+    from webgraph_big_spark.graph import Graph
+    from webgraph_big_spark.algorithms.components import (
+        connected_components,
+        connected_components_star,
+        component_sizes,
+    )
+    from webgraph_big_spark.algorithms.hyperball import hyperball
+    from webgraph_big_spark.algorithms.scc import strongly_connected_components_fwbw
+    from webgraph_big_spark.algorithms.stats import graph_stats
+
+    skip_scc = "--skip-scc" in sys.argv
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    spark = get_spark("cnr2000", cpus=cpus, shuffle_partitions=32)
+    res: dict = {"graph": "cnr-2000", "cpus": cpus}
+
+    def progress(msg: str) -> None:
+        print(f"[cnr2000] {msg}", file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    g0 = Graph.from_adjacency_text(spark, CNR_TXT)
+    edges = g0.edges.localCheckpoint(eager=True)
+    g = Graph(edges, dense=True)
+    n, m = g.num_nodes(), g.num_arcs()
+    res["ingest_sec"] = round(time.time() - t0, 1)
+    progress(f"ingest {res['ingest_sec']}s")
+    res["nodes"], res["arcs"] = n, m
+    assert n == CNR_NODES, f"nodes {n} != properties {CNR_NODES}"
+    assert m == CNR_ARCS, f"arcs {m} != properties {CNR_ARCS}"
+
+    t0 = time.time()
+    st = graph_stats(g)
+    res["stats_sec"] = round(time.time() - t0, 1)
+    progress(f"stats {res['stats_sec']}s")
+    res["max_outdegree"] = st["max_outdegree"]
+    res["max_indegree"] = st["max_indegree"]
+    res["dangling"] = st["dangling"]
+    res["loops"] = st["loops"]
+
+    # WCC two ways — the partitions must agree exactly
+    t0 = time.time()
+    cc_star = connected_components_star(g).localCheckpoint(eager=True)
+    res["wcc_star_sec"] = round(time.time() - t0, 1)
+    progress(f"wcc_star {res['wcc_star_sec']}s")
+    t0 = time.time()
+    cc_min = connected_components(g).localCheckpoint(eager=True)
+    res["wcc_hashmin_sec"] = round(time.time() - t0, 1)
+    progress(f"wcc_hashmin {res['wcc_hashmin_sec']}s")
+    n_star = cc_star.select("comp").distinct().count()
+    n_min = cc_min.select("comp").distinct().count()
+    pairs = (
+        cc_star.withColumnRenamed("comp", "a")
+        .join(cc_min.withColumnRenamed("comp", "b"), "id")
+        .select("a", "b")
+        .distinct()
+        .count()
+    )
+    assert n_star == n_min == pairs, (n_star, n_min, pairs)
+    res["wcc_components"] = n_star
+    sizes = component_sizes(cc_star)
+    res["wcc_largest"] = int(sizes.agg(F.max("size")).first()[0])
+
+    # HyperBall m=64 registers (log2m=6), run to convergence
+    t0 = time.time()
+    nf = hyperball(g, t_max=64, log2m=6).collect()
+    res["hyperball_sec"] = round(time.time() - t0, 1)
+    progress(f"hyperball {res['hyperball_sec']}s")
+    ests = [r["nf"] for r in sorted(nf, key=lambda r: r["t"])]
+    assert all(b >= a * (1 - 1e-9) for a, b in zip(ests, ests[1:])), "NF not monotone"
+    res["hyperball_rounds"] = len(ests) - 1
+    res["nf_final"] = round(ests[-1], 1)
+    res["nf_t0"] = round(ests[0], 1)
+
+    if not skip_scc:
+        t0 = time.time()
+        scc = strongly_connected_components_fwbw(g, max_outer=10_000).localCheckpoint(
+            eager=True
+        )
+        res["scc_sec"] = round(time.time() - t0, 1)
+        progress(f"scc {res['scc_sec']}s")
+        res["scc_components"] = scc.select("comp").distinct().count()
+        res["scc_largest"] = int(
+            component_sizes(scc).agg(F.max("size")).first()[0]
+        )
+        assert scc.count() == n
+        # containment: each SCC lies inside exactly one weak component
+        cross = (
+            scc.withColumnRenamed("comp", "s")
+            .join(cc_star.withColumnRenamed("comp", "w"), "id")
+            .select("s", "w")
+            .distinct()
+            .count()
+        )
+        assert cross == res["scc_components"], (cross, res["scc_components"])
+
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

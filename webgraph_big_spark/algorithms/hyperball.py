@@ -166,13 +166,20 @@ def init_register_cols(log2m: int = LOG2M):
 
     h = 48-bit md5-prefix hash of the *decimal string* of the id;
     j = h & (m-1);  w = h >> log2m;  rho = (w_bits - bitlen(w)) + 1
-    (bitlen via the binary-string length — exact, no float log)."""
-    c = _cfg(log2m)
+    (bitlen via the binary-string length — exact, no float log).
+
+    Deliberately does NOT go through ``_cfg`` (whose log2m ≤ 12 cap is a
+    COLUMN-design plan-width limit): the packed-register path
+    (``hyperball_packed.py``) shares this init at higher precisions."""
+    if not 3 <= log2m <= 20:
+        raise ValueError(f"log2m must be in [3, 20], got {log2m}")
+    p = 1 << log2m
+    w_bits = HASH_BITS - log2m
     h = stable_long_hash(F.col("id").cast("string"), bits=HASH_BITS)
-    j = h.bitwiseAND(F.lit(c.p - 1))
+    j = h.bitwiseAND(F.lit(p - 1))
     w = F.shiftrightunsigned(h, log2m)
-    rho = F.when(w == 0, F.lit(c.w_bits + 1)).otherwise(
-        F.lit(c.w_bits) - F.length(F.bin(w)) + 1
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(w)) + 1
     )
     return j.alias("j"), rho.cast("int").alias("rho")
 
@@ -487,10 +494,16 @@ def hyperball_registers_sql(edge_sql: str, t_max: int, log2m: int = LOG2M) -> st
 
 
 def hyperball_centralities_sql(
-    edge_sql: str, t_max: int, log2m: int = LOG2M, round_dp: int = 3
+    edge_sql: str,
+    t_max: int,
+    log2m: int = LOG2M,
+    round_dp: int = 3,
+    full: bool = False,
+    discount_weights: list[float] | None = None,
+    full_dp: int = 2,
 ) -> str:
     """Unrolled DuckDB SQL reproducing ``hyperball_centralities(g,
-    t_max).select(id, round(reachable, dp), round(harmonic, dp))``.
+    t_max)`` rounded per column.
 
     Mirrors the Spark computation term for term: the register recursion
     runs over the TRANSPOSE (swap src/dst); per round t the per-node
@@ -500,7 +513,15 @@ def hyperball_centralities_sql(
     Spark accumulator adds them — untouched rounds contribute exactly
     +0.0, which is an IEEE no-op, so summing over all nodes/rounds here
     equals Spark's touched-only sums bit for bit); reachable = est_T.
-    """
+
+    ``full=True`` adds closeness (1/Σ dist·Δmass), lin (|ball|²/Σ dist)
+    and — when ``discount_weights`` gives the per-round weights
+    w_t = discount(t), t = 1..t_max — the discounted centrality
+    (``algo/HyperBall.java:245``'s discountFunction).  The derived
+    float columns round at ``full_dp`` (coarser than the 3-dp
+    reachable/harmonic columns: ratios of estimates amplify libm ULP
+    divergence between engines, so the hash gate quantizes them one
+    digit coarser)."""
     c = _cfg(log2m)
     transposed = f"SELECT dst AS src, src AS dst FROM ({edge_sql})"
     parts = _register_rounds_sql(transposed, t_max, c)
@@ -513,17 +534,36 @@ def hyperball_centralities_sql(
             f"e{t} AS MATERIALIZED (SELECT id, {c.est_expr} AS est FROM z{t})"
         )
     if t_max == 0:
-        harmonic = "0.0"
+        harmonic, sumdist, discounted = "0.0", "0.0", "0.0"
     else:
         harmonic = " + ".join(
             f"((e{t}.est - e{t-1}.est) / {float(t)})" for t in range(1, t_max + 1)
         )
+        sumdist = " + ".join(
+            f"((e{t}.est - e{t-1}.est) * {float(t)})" for t in range(1, t_max + 1)
+        )
+        if discount_weights is not None:
+            discounted = " + ".join(
+                f"((e{t}.est - e{t-1}.est) * {float(discount_weights[t - 1])})"
+                for t in range(1, t_max + 1)
+            )
+        else:
+            discounted = "0.0"
     joins = "e0" + "".join(
         f" JOIN e{t} ON e{t}.id = e0.id" for t in range(1, t_max + 1)
     )
     last = f"e{t_max}"
-    return (
-        ", ".join(parts)
-        + f" SELECT e0.id AS id, round({last}.est, {round_dp}) AS reachable, "
-        f"round({harmonic}, {round_dp}) AS harmonic FROM {joins}"
+    cols = (
+        f"e0.id AS id, round({last}.est, {round_dp}) AS reachable, "
+        f"round({harmonic}, {round_dp}) AS harmonic"
     )
+    if full:
+        cols += (
+            f", round(CASE WHEN ({sumdist}) > 0 THEN CAST(1.0 AS DOUBLE) / ({sumdist}) "
+            f"ELSE 0.0 END, {full_dp}) AS closeness"
+            f", round(CASE WHEN ({sumdist}) > 0 THEN ({last}.est * {last}.est) / ({sumdist}) "
+            f"ELSE CAST(1.0 AS DOUBLE) END, {full_dp}) AS lin"
+        )
+        if discount_weights is not None:
+            cols += f", round({discounted}, {full_dp}) AS discounted"
+    return ", ".join(parts) + f" SELECT {cols} FROM {joins}"

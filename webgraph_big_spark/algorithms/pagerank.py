@@ -46,6 +46,7 @@ def pagerank(
     fixed_iterations: int | None = None,
     check_every: int = 4,
     broadcast_threshold_bytes: int | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Returns (id, rank) over all n nodes.
 
@@ -54,6 +55,18 @@ def pagerank(
     every ``check_every`` rounds (a convergence probe is an extra action;
     probing every round would double driver latency for no benefit —
     power iteration's delta decays geometrically).
+
+    ``salt_buckets`` (co-partition path only) splits each source's arcs
+    across that many partitions: the edge table co-partitions on
+    (src, salt(dst)) and the rank side replicates ×salt_buckets via a
+    broadcast cross-join before the per-round join.  Without it a
+    mega-out-hub's arcs land in ONE cached partition (hash(src) sends
+    every arc of one src to the same place) and one straggler task per
+    round carries the hub — AQE cannot split a cached, non-shuffle join
+    side.  Cost: rank-side message volume ×salt_buckets (the small
+    side); the hub partition shrinks ÷salt_buckets.  Use when
+    max-outdegree ≫ m/num_partitions (see skew.py:hub_nodes and the
+    measured hub benchmark in BENCH.md).
     """
     spark = g.edges.sparkSession
     n = g.num_nodes()
@@ -95,9 +108,18 @@ def pagerank(
         # co-partition path — see co_partitioned for the full recipe:
         # each iteration's join satisfies its distribution requirement
         # from the cache and only the rank side is exchanged.
-        edges_w = co_partitioned(
-            edges_base, "src", num_partitions=spark_parallelism
-        )
+        if salt_buckets:
+            edges_base = edges_base.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).cast("int"),
+            )
+            edges_w = co_partitioned(
+                edges_base, "src", "_salt", num_partitions=spark_parallelism
+            )
+        else:
+            edges_w = co_partitioned(
+                edges_base, "src", num_partitions=spark_parallelism
+            )
 
     def initial() -> DataFrame:
         return g.nodes().select("id", F.lit(1.0 / n).alias("rank"))
@@ -114,12 +136,22 @@ def pagerank(
         # broadcast explicitly; above it, the shuffle-hash hint + the
         # pre-partitioned edge table make each round exchange only ranks.
         rank_side = ranks.select(F.col("id").alias("src"), "rank")
+        join_keys = ["src"]
         if use_broadcast:
             rank_side = F.broadcast(rank_side)
         else:
+            if salt_buckets:
+                # replicate the (small) rank side across the salt space so
+                # the join key matches the salted edge partitioning — the
+                # hub's arcs then spread over salt_buckets tasks
+                salts = spark.range(salt_buckets).select(
+                    F.col("id").cast("int").alias("_salt")
+                )
+                rank_side = rank_side.crossJoin(F.broadcast(salts))
+                join_keys = ["src", "_salt"]
             rank_side = rank_side.hint("shuffle_hash")
         contribs = (
-            edges_w.join(rank_side, "src")
+            edges_w.join(rank_side, join_keys)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
         )

@@ -58,6 +58,16 @@ def salted_sum(
     reduce-side case where a single post-shuffle partition would still
     own a mega-key's partials, and (b) observability (metrics on how much
     mass flowed through hubs).
+
+    Where salting IS load-bearing in this engine: the co-partitioned
+    iterative joins.  A mega-OUT-hub's arcs hash to one cached partition
+    (hash(src) is constant over them), and AQE cannot split a cached
+    non-shuffle join side — so ``pagerank(salt_buckets=B)`` co-partitions
+    edges on (src, salt(dst)) and replicates the rank side ×B (the
+    integrated production path; hub benchmark in BENCH.md).  For pure
+    SUM aggregations the measured benchmark shows partial aggregation
+    alone collapses hub fan-in to ≤ one partial row per map task — use
+    this function only for the (a)/(b) cases above.
     """
     h = F.broadcast(hubs.select(F.col("id").alias(key), F.lit(True).alias("_is_hub")))
     tagged = df.join(h, key, "left")

@@ -20,7 +20,9 @@ fixture with :func:`Graph.from_adjacency_text` and validates:
   the estimate is within HLL error of n² reachable-pair mass ONLY in
   relative-growth terms: monotone, converged).
 
-Usage: python tools/cnr2000.py [--skip-scc]   (writes one JSON line)
+Usage: python tools/cnr2000.py [--skip-scc] [--hb-t N]
+(writes one JSON line; --hb-t bounds the HyperBall rounds — full
+convergence needs a quiet host window, see BENCH.md)
 """
 
 from __future__ import annotations
@@ -102,9 +104,13 @@ def main() -> None:
     sizes = component_sizes(cc_star)
     res["wcc_largest"] = int(sizes.agg(F.max("size")).first()[0])
 
-    # HyperBall m=64 registers (log2m=6), run to convergence
+    # HyperBall m=64 registers (log2m=6); --hb-t bounds the rounds
+    hb_t = 64
+    if "--hb-t" in sys.argv:
+        hb_t = int(sys.argv[sys.argv.index("--hb-t") + 1])
+    res["hb_t_max"] = hb_t
     t0 = time.time()
-    nf = hyperball(g, t_max=64, log2m=6).collect()
+    nf = hyperball(g, t_max=hb_t, log2m=6).collect()
     res["hyperball_sec"] = round(time.time() - t0, 1)
     progress(f"hyperball {res['hyperball_sec']}s")
     ests = [r["nf"] for r in sorted(nf, key=lambda r: r["t"])]

@@ -116,7 +116,7 @@ def _peel_trivial(edges: DataFrame, nodes: DataFrame, max_rounds: int = 64):
 
 
 def strongly_connected_components_fwbw(
-    g: Graph, max_outer: int = 64, giant_pivots: int = 1
+    g: Graph, max_outer: int = 64, giant_pivots: int = 1, progress=None
 ) -> DataFrame:
     """(id, comp) with comp = min id of the SCC — the linear-state scale
     path (vs :func:`strongly_connected_components`'s pair-materializing
@@ -142,7 +142,12 @@ def strongly_connected_components_fwbw(
     by #SCCs — pathological on a chain of cycles with ids decreasing
     along it).  ``max_outer`` is a safety bound: exceeding it RAISES
     rather than returning a silent partial labelling.
+
+    ``progress`` (optional callable str → None) receives one line per
+    phase transition — long-running full-graph runs are otherwise opaque
+    from outside the Spark UI.
     """
+    say = progress or (lambda msg: None)
     spark = g.edges.sparkSession
     edges = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     nodes = g.nodes()
@@ -153,6 +158,7 @@ def strongly_connected_components_fwbw(
     outer = -1
     while True:
         outer += 1
+        say(f"outer {outer}: peeling")
         edges, nodes, peeled = _peel_trivial(edges, nodes)
         if not peeled.isEmpty():
             done = done.union(peeled.select("id", F.col("id").alias("comp")))
@@ -169,6 +175,7 @@ def strongly_connected_components_fwbw(
             # FW-BW from the deterministic pivot (min id) — catches the
             # giant SCC in O(diam) rounds without touching the rest.
             pivot = nodes.agg(F.min("id")).first()[0]
+            say(f"outer {outer}: FW-BW pivot {pivot}")
             seed = spark.createDataFrame([(int(pivot),)], "id long")
             fw = _reach(edges, seed, forward=True)
             bw = _reach(edges, seed, forward=False)
@@ -185,6 +192,7 @@ def strongly_connected_components_fwbw(
 
         # coloring phase: forward max-propagation to fixpoint — edges
         # pinned by the round's join key so only color rows move
+        say(f"outer {outer}: coloring")
         fwd = co_partitioned(edges, "src")
         color = nodes.select("id", F.col("id").alias("color")).localCheckpoint(eager=True)
         while True:
@@ -239,6 +247,7 @@ def strongly_connected_components_fwbw(
             frontier = nxt
         bwd.unpersist()
         # comp label = min id within each discovered SCC (root's class)
+        say(f"outer {outer}: assigning color-root SCCs")
         comp_of = member.groupBy("color").agg(F.min("id").alias("comp"))
         assigned = member.join(comp_of, "color").select("id", "comp").localCheckpoint(eager=True)
         done = done.union(assigned)

@@ -1,0 +1,162 @@
+"""Round 5: FW-BW SCC durable checkpoints + hoisted edge pins,
+sort_by_size without a single-task global window, streaming legacy
+manifest adoption, discount-weight validation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from webgraph_big_spark.graph import Graph
+from webgraph_big_spark.algorithms.components import sort_by_size
+from webgraph_big_spark.algorithms.scc import (
+    _fwbw_latest,
+    strongly_connected_components_fwbw,
+)
+
+
+def _g(spark, edges):
+    return Graph.from_pairs(spark, edges)
+
+
+# ---------------------------------------------------------------------------
+# FW-BW durable checkpoints
+# ---------------------------------------------------------------------------
+
+# chain of cycles with ids DECREASING along it: coloring resolves only
+# the max-color root's SCC per outer round, forcing ≥2 coloring rounds
+CHAINED_CYCLES = [(10, 11), (11, 10), (0, 1), (1, 0), (11, 0)]
+CHAINED_EXPECTED = {10: 10, 11: 10, 0: 0, 1: 0}
+
+
+def test_fwbw_checkpoint_roundtrip(spark, tmp_path):
+    """A run with run_dir produces the same labelling as without, and
+    leaves a complete (manifest-committed) checkpoint behind."""
+    run_dir = str(tmp_path / "scc_run")
+    g = _g(spark, CHAINED_CYCLES)
+    got = {
+        r["id"]: r["comp"]
+        for r in strongly_connected_components_fwbw(
+            g, giant_pivots=0, run_dir=run_dir
+        ).collect()
+    }
+    assert got == CHAINED_EXPECTED
+    assert _fwbw_latest(run_dir) is not None
+
+
+def test_fwbw_resumes_from_interrupted_run(spark, tmp_path):
+    """Kill the run after outer round 0 (max_outer=1 raises mid-round-1);
+    a second call with the same run_dir resumes from the committed
+    round-0 checkpoint and completes with the exact labelling."""
+    run_dir = str(tmp_path / "scc_resume")
+    g = _g(spark, CHAINED_CYCLES)
+    with pytest.raises(RuntimeError, match="max_outer"):
+        strongly_connected_components_fwbw(
+            g, giant_pivots=0, max_outer=1, run_dir=run_dir
+        )
+    assert _fwbw_latest(run_dir) == 0  # round 0 committed before the kill
+    phases = []
+    got = {
+        r["id"]: r["comp"]
+        for r in strongly_connected_components_fwbw(
+            g, giant_pivots=0, run_dir=run_dir, progress=phases.append
+        ).collect()
+    }
+    assert got == CHAINED_EXPECTED
+    assert any("resuming" in p for p in phases)
+
+
+def test_fwbw_with_pivot_and_run_dir(spark, tmp_path):
+    """Checkpointing also covers the giant-pivot rounds (round 4's code
+    only pinned/checkpointed inside coloring)."""
+    run_dir = str(tmp_path / "scc_pivot")
+    edges = [(i, (i + 1) % 5) for i in range(5)] + [(5, 6), (6, 5), (4, 5)]
+    g = _g(spark, edges)
+    got = {
+        r["id"]: r["comp"]
+        for r in strongly_connected_components_fwbw(g, run_dir=run_dir).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5}
+
+
+# ---------------------------------------------------------------------------
+# sort_by_size scalability
+# ---------------------------------------------------------------------------
+
+
+def test_sort_by_size_no_single_partition_exchange(spark):
+    """Renumbering ranks (size desc, comp) via global_rank: correct
+    dense [0, #comps) labels and NO single-partition Exchange in the
+    executed plan (the former Window.orderBy funneled every component
+    through one task)."""
+    # comps: size 3 (comp 7), size 2 (comps 2, 9), size 1 (comp 5)
+    rows = [(1, 7), (2, 7), (3, 7), (4, 2), (5, 2), (6, 9), (8, 9), (0, 5)]
+    comps = spark.createDataFrame(rows, "id long, comp long")
+    out = sort_by_size(comps)
+    got = {r["id"]: r["comp"] for r in out.collect()}
+    # expected order: comp7 (size3) -> 0; ties size 2 by min comp: 2 -> 1,
+    # 9 -> 2; comp5 (size1) -> 3
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 2, 8: 2, 0: 3}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming: legacy manifest adoption
+# ---------------------------------------------------------------------------
+
+
+def test_legacy_manifest_without_checkpoint_id_is_adopted(spark, tmp_path):
+    """A state table written before checkpoint lineage was recorded
+    (no checkpoint_id key) continues under its original checkpoint: the
+    current id is stamped in, last_batch_id survives, and the replay
+    guard still rejects an already-applied batch."""
+    import webgraph_big_spark.streaming as st
+
+    state = str(tmp_path / "legacy_state")
+    ck = os.path.abspath(str(tmp_path / "ck"))
+    b0 = spark.createDataFrame([(0, 1)], "src long, dst long")
+    st._merge_degree_batch(b0, 0, state, ck, n_buckets=2)
+    # simulate the pre-lineage manifest format
+    manifest = st._read_manifest(state)
+    del manifest["checkpoint_id"]
+    st._write_manifest(state, manifest)
+    # next delivery under the SAME checkpoint adopts, applies batch 1
+    b1 = spark.createDataFrame([(0, 2)], "src long, dst long")
+    st._merge_degree_batch(b1, 1, state, ck, n_buckets=2)
+    manifest = st._read_manifest(state)
+    assert manifest["checkpoint_id"] == ck
+    assert manifest["last_batch_id"] == 1
+    got = {r["id"]: (r["outdeg"], r["indeg"])
+           for r in st.read_degree_state(spark, state).collect()}
+    assert got == {0: (2, 0), 1: (0, 1), 2: (0, 1)}
+    # replay of batch 1 is still a no-op (guard kept, not reset)
+    st._merge_degree_batch(b1, 1, state, ck, n_buckets=2)
+    got2 = {r["id"]: (r["outdeg"], r["indeg"])
+            for r in st.read_degree_state(spark, state).collect()}
+    assert got2 == got
+    # a DIFFERENT checkpoint still fails loudly
+    with pytest.raises(RuntimeError, match="refusing to apply"):
+        st._merge_degree_batch(
+            b1, 0, state, os.path.abspath(str(tmp_path / "other_ck")), n_buckets=2
+        )
+
+
+# ---------------------------------------------------------------------------
+# discount-weight validation
+# ---------------------------------------------------------------------------
+
+
+def test_centralities_sql_validates_discount_weight_length():
+    from webgraph_big_spark.algorithms.hyperball import hyperball_centralities_sql
+
+    with pytest.raises(ValueError, match="discount_weights has 1"):
+        hyperball_centralities_sql(
+            "SELECT 0 AS src, 1 AS dst", t_max=2, discount_weights=[0.5]
+        )
+    with pytest.raises(ValueError, match="discount_weights has 3"):
+        hyperball_centralities_sql(
+            "SELECT 0 AS src, 1 AS dst", t_max=2, discount_weights=[0.5, 0.25, 0.1]
+        )

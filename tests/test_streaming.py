@@ -142,23 +142,38 @@ def test_foreign_checkpoint_raises_and_rebind(spark, tmp_path):
 
 
 def test_version_gc_sweeps_superseded_dirs(spark, tmp_path):
-    """Superseded version directories are deleted after the manifest
-    flip and the surviving state still reads back correctly — storage is
-    bounded by live bucket copies, not stream lifetime."""
+    """Superseded version directories are swept only once BOTH retention
+    guards lapse (older than the grace period AND more than
+    keep_versions behind the current version) — a reader holding a lazy
+    DataFrame pinned to the previous version's files is safe across the
+    next few batches; storage stays bounded by live copies + the small
+    retained tail."""
     state = str(tmp_path / "state6")
     ck = os.path.abspath(str(tmp_path / "ck"))
     # n_buckets=1: every batch rewrites the single bucket, so each new
     # version fully supersedes the previous directory
-    b0 = spark.createDataFrame([(0, 1)], "src long, dst long")
-    st._merge_degree_batch(b0, 0, state, ck, n_buckets=1)
-    assert os.path.isdir(os.path.join(state, "v0"))
-    b1 = spark.createDataFrame([(0, 2)], "src long, dst long")
-    st._merge_degree_batch(b1, 1, state, ck, n_buckets=1)
-    assert os.path.isdir(os.path.join(state, "v1"))
-    assert not os.path.exists(os.path.join(state, "v0"))  # swept
+    for i, d in enumerate([1, 2, 3, 4]):
+        b = spark.createDataFrame([(0, d)], "src long, dst long")
+        st._merge_degree_batch(b, i, state, ck, n_buckets=1)
+    # all four version dirs exist: v0..v2 superseded but inside the
+    # grace period, v3 live
+    for v in range(4):
+        assert os.path.isdir(os.path.join(state, f"v{v}"))
+    # age everything past the grace period and sweep with defaults:
+    # keep_versions=2 retains v2, v3 (v3 live anyway) and sweeps v0, v1
+    import time
+    old = time.time() - 2 * st.GC_GRACE_SECONDS
+    for v in range(4):
+        os.utime(os.path.join(state, f"v{v}"), (old, old))
+    manifest = st._read_manifest(state)
+    st._gc_versions(state, manifest)
+    assert not os.path.exists(os.path.join(state, "v0"))
+    assert not os.path.exists(os.path.join(state, "v1"))
+    assert os.path.isdir(os.path.join(state, "v2"))  # keep_versions tail
+    assert os.path.isdir(os.path.join(state, "v3"))  # live
     got = {r["id"]: (r["outdeg"], r["indeg"])
            for r in st.read_degree_state(spark, state).collect()}
-    assert got == {0: (2, 0), 1: (0, 1), 2: (0, 1)}
+    assert got == {0: (4, 0), 1: (0, 1), 2: (0, 1), 3: (0, 1), 4: (0, 1)}
 
 
 def test_windowed_counts_drop_late_data(spark, tmp_path):

@@ -191,13 +191,23 @@ def component_sizes(components: DataFrame) -> DataFrame:
 def sort_by_size(components: DataFrame) -> DataFrame:
     """Renumber components by decreasing size (ties: by min id) —
     ``ConnectedComponents.sortBySize`` (``algo/ConnectedComponents.java:142``).
-    Returns (id, comp) with comp ∈ [0, #components), 0 = largest."""
-    sizes = component_sizes(components)
-    w = Window.orderBy(F.desc("size"), F.asc("comp"))
-    remap = sizes.select(
-        "comp", (F.row_number().over(w) - 1).cast("long").alias("new_comp")
+    Returns (id, comp) with comp ∈ [0, #components), 0 = largest.
+
+    On mostly-isolated graphs #components ≈ n, so the rank over
+    (size desc, comp) uses :func:`~webgraph_big_spark.functions.global_rank`
+    (range-partitioned parallel sort + offset stitch) rather than an
+    unpartitioned ``Window.orderBy`` — the latter funnels every component
+    row through ONE task.  ``(-size, comp)`` is unique (comp is), which
+    global_rank requires.  The remap join is a plain equi-join on comp:
+    its size is #components, which at scale must NOT be broadcast.
+    """
+    from webgraph_big_spark.functions import global_rank
+
+    sizes = component_sizes(components).withColumn("_negsize", -F.col("size"))
+    remap = global_rank(sizes, ["_negsize", "comp"], out="new_comp").select(
+        "comp", F.col("new_comp").cast("long").alias("new_comp")
     )
     return (
-        components.join(F.broadcast(remap), "comp")
+        components.join(remap, "comp")
         .select("id", F.col("new_comp").alias("comp"))
     )

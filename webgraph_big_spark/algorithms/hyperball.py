@@ -522,6 +522,14 @@ def hyperball_centralities_sql(
     reachable/harmonic columns: ratios of estimates amplify libm ULP
     divergence between engines, so the hash gate quantizes them one
     digit coarser)."""
+    if discount_weights is not None and len(discount_weights) != t_max:
+        # a short list would IndexError below; a LONGER one would
+        # silently ignore the tail while the Spark side's discount
+        # callable covers all rounds — diverging the gate undiagnosed
+        raise ValueError(
+            f"discount_weights has {len(discount_weights)} entries but "
+            f"t_max={t_max} requires exactly one weight per round 1..t_max"
+        )
     c = _cfg(log2m)
     transposed = f"SELECT dst AS src, src AS dst FROM ({edge_sql})"
     parts = _register_rounds_sql(transposed, t_max, c)

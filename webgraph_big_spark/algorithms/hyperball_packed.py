@@ -12,7 +12,8 @@ This module restores that freedom by making registers ROWS, not columns:
 
 - state(id, slot, packed): slot = register_index >> 3; ``packed`` holds
   registers ``slot*8 .. slot*8+7`` in 6-bit fields (48 bits used; rho
-  ≤ 45 < 63 always fits).  Rows are SPARSE — an absent (id, slot) row
+  ≤ HASH_BITS − log2m + 1 = 46 at the minimum allowed log2m=3, and
+  46 < 63 always fits).  Rows are SPARSE — an absent (id, slot) row
   means eight zero registers, so a fresh counter is ONE row regardless
   of m.
 - merge = 8 shift/mask ``max`` aggregates + one repack per slot: plan
@@ -45,7 +46,7 @@ from webgraph_big_spark.algorithms.hyperball import (
 from webgraph_big_spark.graph import Graph, co_partitioned
 
 K = 8  # registers per long (8 divides every m = 2^log2m ≥ 8)
-BITS = 6  # bits per register: rho ≤ w_bits + 1 = 45 < 63
+BITS = 6  # bits per register: rho ≤ HASH_BITS - log2m + 1 = 46 (log2m ≥ 3) < 63
 MASK = (1 << BITS) - 1
 
 

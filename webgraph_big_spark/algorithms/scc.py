@@ -18,7 +18,12 @@ quotient DAG.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from webgraph_big_spark.graph import Graph, co_partitioned
 
@@ -62,14 +67,26 @@ def strongly_connected_components(g: Graph, t: int = 32) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _reach(edges: DataFrame, seeds: DataFrame, forward: bool = True) -> DataFrame:
+def _reach(
+    edges: DataFrame, seeds: DataFrame, forward: bool = True, pinned: DataFrame | None = None
+) -> DataFrame:
     """Frontier-loop reachability: ids reachable from ``seeds(id)`` along
     ``edges`` (or against them when ``forward=False``).  O(diameter)
-    rounds, O(|reached|) state — never materializes pairs."""
+    rounds, O(|reached|) state — never materializes pairs.
+
+    ``pinned`` (optional): the edge table already hash-partitioned +
+    cached by the expansion key (``src`` forward / ``dst`` backward) —
+    callers running several reaches over the SAME edge set (FW-BW does
+    forward + backward per pivot) pin once per outer round and pass it
+    in; this function then never repartitions and never unpersists.
+    When omitted, pins locally and releases in a ``finally``.
+    """
     s, d = ("src", "dst") if forward else ("dst", "src")
-    # pin the edge table hash-partitioned by the expansion key for the
-    # loop's lifetime: per round only the frontier moves
-    pinned = co_partitioned(edges, s)
+    owns_pin = pinned is None
+    if owns_pin:
+        # pin the edge table hash-partitioned by the expansion key for
+        # the loop's lifetime: per round only the frontier moves
+        pinned = co_partitioned(edges, s)
     visited = seeds.select("id").distinct().localCheckpoint(eager=True)
     frontier = visited
     try:
@@ -88,7 +105,8 @@ def _reach(edges: DataFrame, seeds: DataFrame, forward: bool = True) -> DataFram
             visited = visited.union(nxt).localCheckpoint(eager=True)
             frontier = nxt
     finally:
-        pinned.unpersist()
+        if owns_pin:
+            pinned.unpersist()
 
 
 def _peel_trivial(edges: DataFrame, nodes: DataFrame, max_rounds: int = 64):
@@ -115,8 +133,64 @@ def _peel_trivial(edges: DataFrame, nodes: DataFrame, max_rounds: int = 64):
     return edges, nodes, peeled
 
 
+def _fwbw_checkpoint(
+    run_dir: str, outer: int, done: DataFrame, nodes: DataFrame, edges: DataFrame,
+    keep_last: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Durably checkpoint the FW-BW outer-loop state (manifest written
+    LAST, so its presence proves a complete round — same commit protocol
+    as :class:`webgraph_big_spark.checkpoint.IterativeRunner`).  Returns
+    the three relations re-read from parquet (lineage fully truncated;
+    the checkpoint is now the source of truth for resume)."""
+    spark = done.sparkSession
+    d = os.path.join(run_dir, f"outer_{outer:05d}")
+    out = {}
+    for name, df in (("done", done), ("nodes", nodes), ("edges", edges)):
+        path = os.path.join(d, name)
+        df.write.mode("overwrite").parquet(path)
+        out[name] = spark.read.parquet(path)
+    manifest = {
+        "outer": outer,
+        "done_rows": out["done"].count(),
+        "nodes_rows": out["nodes"].count(),
+        "edges_rows": out["edges"].count(),
+        "ts": time.time(),
+    }
+    tmp = os.path.join(d, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(d, "manifest.json"))  # commit point
+    # prune superseded rounds, keeping the last few complete ones
+    complete = sorted(
+        int(n.split("_")[1])
+        for n in os.listdir(run_dir)
+        if n.startswith("outer_")
+        and os.path.exists(os.path.join(run_dir, n, "manifest.json"))
+    )
+    for old in complete[:-keep_last]:
+        shutil.rmtree(os.path.join(run_dir, f"outer_{old:05d}"), ignore_errors=True)
+    return out["done"], out["nodes"], out["edges"]
+
+
+def _fwbw_latest(run_dir: str) -> int | None:
+    if not os.path.isdir(run_dir):
+        return None
+    its = [
+        int(n.split("_")[1])
+        for n in os.listdir(run_dir)
+        if n.startswith("outer_")
+        and os.path.exists(os.path.join(run_dir, n, "manifest.json"))
+    ]
+    return max(its) if its else None
+
+
 def strongly_connected_components_fwbw(
-    g: Graph, max_outer: int = 64, giant_pivots: int = 1, progress=None
+    g: Graph,
+    max_outer: int = 64,
+    giant_pivots: int = 1,
+    progress=None,
+    run_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(id, comp) with comp = min id of the SCC — the linear-state scale
     path (vs :func:`strongly_connected_components`'s pair-materializing
@@ -146,16 +220,44 @@ def strongly_connected_components_fwbw(
     ``progress`` (optional callable str → None) receives one line per
     phase transition — long-running full-graph runs are otherwise opaque
     from outside the Spark UI.
+
+    ``run_dir`` (optional): durable resumability.  Every
+    ``checkpoint_every`` outer rounds the loop state (``done``/``nodes``/
+    ``edges``) is written to parquet with a commit-last manifest; a new
+    call with the same ``run_dir`` resumes from the latest complete
+    round instead of restarting (a host-killed multi-hour run loses at
+    most ``checkpoint_every`` rounds).  Pass a fresh/empty directory for
+    a fresh run.
+
+    The edge table is pinned hash-partitioned ONCE per outer round in
+    each direction (``src`` for forward/coloring, ``dst`` for backward)
+    and shared by every phase in that round — the per-phase repartition+
+    cache+count that round 4 paid (twice per pivot, once per coloring
+    phase) is gone; pins are released in ``finally`` even on error.
     """
     say = progress or (lambda msg: None)
     spark = g.edges.sparkSession
-    edges = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    nodes = g.nodes()
-    done = spark.createDataFrame([], "id long, comp long")
-    edges = edges.localCheckpoint(eager=True)
-    nodes = nodes.localCheckpoint(eager=True)
-
     outer = -1
+    latest = _fwbw_latest(run_dir) if run_dir else None
+    if latest is not None:
+        say(f"resuming from checkpointed outer round {latest}")
+        d = os.path.join(run_dir, f"outer_{latest:05d}")
+        done = spark.read.parquet(os.path.join(d, "done")).localCheckpoint(eager=True)
+        nodes = spark.read.parquet(os.path.join(d, "nodes")).localCheckpoint(eager=True)
+        edges = spark.read.parquet(os.path.join(d, "edges")).localCheckpoint(eager=True)
+        outer = latest
+        if nodes.isEmpty():
+            return done
+    else:
+        edges = (
+            g.edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        nodes = g.nodes().localCheckpoint(eager=True)
+        done = spark.createDataFrame([], "id long, comp long")
+
     while True:
         outer += 1
         say(f"outer {outer}: peeling")
@@ -171,92 +273,107 @@ def strongly_connected_components_fwbw(
                 "(bounded by the number of SCCs in the worst case)"
             )
 
-        if outer < giant_pivots:
-            # FW-BW from the deterministic pivot (min id) — catches the
-            # giant SCC in O(diam) rounds without touching the rest.
-            pivot = nodes.agg(F.min("id")).first()[0]
-            say(f"outer {outer}: FW-BW pivot {pivot}")
-            seed = spark.createDataFrame([(int(pivot),)], "id long")
-            fw = _reach(edges, seed, forward=True)
-            bw = _reach(edges, seed, forward=False)
-            scc = fw.join(bw, "id").localCheckpoint(eager=True)
-            comp = scc.agg(F.min("id")).first()[0]
-            done = done.union(scc.select("id", F.lit(int(comp)).alias("comp")))
-            nodes = nodes.join(scc, "id", "left_anti").localCheckpoint(eager=True)
-            edges = (
-                edges.join(scc.withColumnRenamed("id", "src"), "src", "left_anti")
-                .join(scc.withColumnRenamed("id", "dst"), "dst", "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            continue
-
-        # coloring phase: forward max-propagation to fixpoint — edges
-        # pinned by the round's join key so only color rows move
-        say(f"outer {outer}: coloring")
+        # ONE pin per direction per outer round, shared by all phases
         fwd = co_partitioned(edges, "src")
-        color = nodes.select("id", F.col("id").alias("color")).localCheckpoint(eager=True)
-        while True:
-            msgs = (
-                fwd.join(
-                    color.select(F.col("id").alias("src"), "color").hint(
-                        "shuffle_hash"
-                    ),
-                    "src",
-                )
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.max("color").alias("mx"))
-            )
-            new_color = (
-                color.join(msgs, "id", "left")
-                .select("id", F.greatest("color", F.coalesce("mx", "color")).alias("color"))
-                .localCheckpoint(eager=True)
-            )
-            n_changed = (
-                new_color.join(color.withColumnRenamed("color", "old"), "id")
-                .filter(F.col("color") != F.col("old"))
-                .count()
-            )
-            color = new_color
-            if n_changed == 0:
-                break
-        fwd.unpersist()
-        # multi-source backward reach from every color root, within class
         bwd = co_partitioned(edges, "dst")
-        roots = color.filter(F.col("id") == F.col("color")).select("id", "color")
-        member = roots.localCheckpoint(eager=True)
-        frontier = member
-        while True:
-            nxt = (
-                bwd.join(
-                    frontier.select(F.col("id").alias("dst"), "color").hint(
-                        "shuffle_hash"
-                    ),
-                    "dst",
+        try:
+            if outer < giant_pivots:
+                # FW-BW from the deterministic pivot (min id) — catches
+                # the giant SCC in O(diam) rounds without touching the
+                # rest.
+                pivot = nodes.agg(F.min("id")).first()[0]
+                say(f"outer {outer}: FW-BW pivot {pivot}")
+                seed = spark.createDataFrame([(int(pivot),)], "id long")
+                fw = _reach(edges, seed, forward=True, pinned=fwd)
+                bw = _reach(edges, seed, forward=False, pinned=bwd)
+                scc = fw.join(bw, "id").localCheckpoint(eager=True)
+                comp = scc.agg(F.min("id")).first()[0]
+                done = done.union(scc.select("id", F.lit(int(comp)).alias("comp")))
+                assigned_ids = scc
+            else:
+                # coloring phase: forward max-propagation to fixpoint —
+                # only color rows move against the pinned edge side
+                say(f"outer {outer}: coloring")
+                color = nodes.select("id", F.col("id").alias("color")).localCheckpoint(
+                    eager=True
                 )
-                .select(F.col("src").alias("id"), "color")
-                .distinct()
-                .join(color.withColumnRenamed("color", "c2"), "id")
-                .filter(F.col("color") == F.col("c2"))
-                .select("id", "color")
-                .join(member.select("id"), "id", "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            if nxt.isEmpty():
-                break
-            member = member.union(nxt).localCheckpoint(eager=True)
-            frontier = nxt
-        bwd.unpersist()
-        # comp label = min id within each discovered SCC (root's class)
-        say(f"outer {outer}: assigning color-root SCCs")
-        comp_of = member.groupBy("color").agg(F.min("id").alias("comp"))
-        assigned = member.join(comp_of, "color").select("id", "comp").localCheckpoint(eager=True)
-        done = done.union(assigned)
-        nodes = nodes.join(assigned.select("id"), "id", "left_anti").localCheckpoint(eager=True)
+                while True:
+                    msgs = (
+                        fwd.join(
+                            color.select(F.col("id").alias("src"), "color").hint(
+                                "shuffle_hash"
+                            ),
+                            "src",
+                        )
+                        .groupBy(F.col("dst").alias("id"))
+                        .agg(F.max("color").alias("mx"))
+                    )
+                    new_color = (
+                        color.join(msgs, "id", "left")
+                        .select(
+                            "id",
+                            F.greatest("color", F.coalesce("mx", "color")).alias("color"),
+                        )
+                        .localCheckpoint(eager=True)
+                    )
+                    n_changed = (
+                        new_color.join(color.withColumnRenamed("color", "old"), "id")
+                        .filter(F.col("color") != F.col("old"))
+                        .count()
+                    )
+                    color = new_color
+                    if n_changed == 0:
+                        break
+                # multi-source backward reach from every color root,
+                # within its color class
+                roots = color.filter(F.col("id") == F.col("color")).select("id", "color")
+                member = roots.localCheckpoint(eager=True)
+                frontier = member
+                while True:
+                    nxt = (
+                        bwd.join(
+                            frontier.select(F.col("id").alias("dst"), "color").hint(
+                                "shuffle_hash"
+                            ),
+                            "dst",
+                        )
+                        .select(F.col("src").alias("id"), "color")
+                        .distinct()
+                        .join(color.withColumnRenamed("color", "c2"), "id")
+                        .filter(F.col("color") == F.col("c2"))
+                        .select("id", "color")
+                        .join(member.select("id"), "id", "left_anti")
+                        .localCheckpoint(eager=True)
+                    )
+                    if nxt.isEmpty():
+                        break
+                    member = member.union(nxt).localCheckpoint(eager=True)
+                    frontier = nxt
+                # comp label = min id within each discovered SCC
+                say(f"outer {outer}: assigning color-root SCCs")
+                comp_of = member.groupBy("color").agg(F.min("id").alias("comp"))
+                assigned = (
+                    member.join(comp_of, "color")
+                    .select("id", "comp")
+                    .localCheckpoint(eager=True)
+                )
+                done = done.union(assigned)
+                assigned_ids = assigned.select("id")
+        finally:
+            fwd.unpersist()
+            bwd.unpersist()
+
+        nodes = nodes.join(assigned_ids, "id", "left_anti").localCheckpoint(eager=True)
         edges = (
-            edges.join(assigned.select(F.col("id").alias("src")), "src", "left_anti")
-            .join(assigned.select(F.col("id").alias("dst")), "dst", "left_anti")
+            edges.join(
+                assigned_ids.select(F.col("id").alias("src")), "src", "left_anti"
+            )
+            .join(assigned_ids.select(F.col("id").alias("dst")), "dst", "left_anti")
             .localCheckpoint(eager=True)
         )
+        done = done.localCheckpoint(eager=True)
+        if run_dir and ((outer + 1) % checkpoint_every == 0):
+            done, nodes, edges = _fwbw_checkpoint(run_dir, outer, done, nodes, edges)
         if nodes.isEmpty():
             break
     return done

@@ -124,18 +124,53 @@ def rebind_state_checkpoint(state_dir: str, checkpoint_dir: str) -> None:
     _write_manifest(state_dir, manifest)
 
 
-def _gc_versions(state_dir: str, manifest: dict) -> None:
+#: superseded version directories younger than this many seconds (or
+#: within GC_KEEP_VERSIONS of the current version) survive the sweep —
+#: see _gc_versions.
+GC_GRACE_SECONDS = 300.0
+GC_KEEP_VERSIONS = 2
+
+
+def _gc_versions(
+    state_dir: str,
+    manifest: dict,
+    grace_seconds: float = GC_GRACE_SECONDS,
+    keep_versions: int = GC_KEEP_VERSIONS,
+) -> None:
     """Remove version directories no longer referenced by any bucket —
-    runs after the manifest pointer flip, so readers that re-resolve the
-    manifest never touch a swept directory."""
+    runs after the manifest pointer flip, so readers that RE-resolve the
+    manifest never touch a swept directory.
+
+    Readers that resolved the manifest EARLIER hold lazy DataFrames
+    pinned to concrete ``v{N}/_bucket`` paths (``_current_state``), and
+    Spark reads those files only when an action runs — possibly several
+    micro-batches after resolution.  An immediate sweep would delete
+    them mid-query.  Two retention guards protect such readers:
+    superseded versions within ``keep_versions`` of the current version
+    survive, and so does any version directory modified less than
+    ``grace_seconds`` ago.  A lazy state read is therefore safe for at
+    least ``grace_seconds`` / ``keep_versions`` batches after
+    resolution; readers holding results longer than that must collect
+    or checkpoint them (module docstring)."""
+    import time as _time
+
     live = {int(v) for v in manifest["buckets"].values()}
+    floor = manifest["version"] - keep_versions
+    now = _time.time()
     for name in os.listdir(state_dir):
-        if (
-            name.startswith("v")
-            and name[1:].isdigit()
-            and int(name[1:]) not in live
-        ):
-            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        v = int(name[1:])
+        if v in live or v > floor:
+            continue
+        path = os.path.join(state_dir, name)
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue
+        if age < grace_seconds:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _merge_degree_batch(
@@ -156,6 +191,13 @@ def _merge_degree_batch(
         "buckets": {},
         "checkpoint_id": checkpoint_id,
     }
+    if "checkpoint_id" not in manifest:
+        # legacy table written before checkpoint lineage was recorded:
+        # adopt it under the CURRENT checkpoint, keeping last_batch_id
+        # intact so the replay guard still applies to the next delivery
+        # (refusing here would force a manual rebind that resets the
+        # guard and loses replay protection for one batch).
+        manifest["checkpoint_id"] = checkpoint_id
     if manifest.get("checkpoint_id") != checkpoint_id:
         # batch ids are only monotonic within one checkpoint lineage: a
         # fresh checkpoint restarts them at 0, so the <= guard below

@@ -858,9 +858,11 @@ from webgraph_big_spark.algorithms.hyperball import (  # noqa: E402
     hyperball_registers_sql,
     hyperball_centralities,
     hyperball_centralities_sql,
+    hyperball_nf_sql,
 )
 from webgraph_big_spark.algorithms.hyperball_packed import (  # noqa: E402
     hyperball_registers_packed as _hb_packed,
+    hyperball_packed as _hb_packed_nf,
 )
 from webgraph_big_spark.algorithms.scc import (  # noqa: E402
     strongly_connected_components_fwbw,
@@ -961,6 +963,13 @@ def _r2_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hyperball_regs_packed_m256_g2"] = lambda spark, sf: _hb_packed(
         load_g2(spark, sf), HB_T, log2m=8
     )
+    # the packed path's NF estimator (per-row partial sums + absent-slot
+    # correction): rounded to 3 dp so the float fold-order difference
+    # vs the oracle's balanced per-node tree is absorbed — registers
+    # themselves are gated integer-exact above
+    q["hyperball_packed_nf_g2"] = lambda spark, sf: _hb_packed_nf(
+        load_g2(spark, sf), HB_T
+    ).select("t", F.round("nf", 3).alias("nf"))
     # HLL centralities: the estimator is a deterministic SQL expression,
     # so the unrolled transpose-side register recursion + per-round est
     # deltas reproduce it exactly (hyperball_centralities_sql).  All five
@@ -1152,6 +1161,7 @@ def _r2_oracles() -> dict[str, str]:
     o["hyperball_regs_packed_m256_g2"] = hyperball_registers_sql(
         G2_SQL, HB_T, log2m=8
     )
+    o["hyperball_packed_nf_g2"] = hyperball_nf_sql(G2_SQL, HB_T)
     o["hyperball_centralities_g2"] = hyperball_centralities_sql(
         G2_SQL, 4, full=True, discount_weights=[0.5**t for t in range(1, 5)]
     )

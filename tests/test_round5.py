@@ -145,6 +145,74 @@ def test_legacy_manifest_without_checkpoint_id_is_adopted(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# LSH hot-bucket hardening
+# ---------------------------------------------------------------------------
+
+
+def _adversarial_docs(spark, n_identical=1000):
+    """n identical docs (every band bucket width n → n²/2 candidate
+    pairs on the naive path) plus one near-dup pair and one loner."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and again", "w")
+            for i in range(n_identical)]
+    rows += [
+        (5000, "completely different content about graph compression methods here", "w"),
+        (5001, "completely different content about graph compression method here", "w"),
+        (6000, "a singleton document sharing no shingles with anything else at all", "w"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_lsh_prefilter_exact_collapses_identical_docs(spark):
+    """1k byte-identical docs collapse to ONE representative before
+    signatures: candidates stay linear-bounded and the near-dup pair is
+    still surfaced."""
+    from webgraph_big_spark.datapipe.dedup import lsh_candidate_pairs
+
+    docs = _adversarial_docs(spark)
+    got = lsh_candidate_pairs(docs, prefilter_exact=True).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    # the identical block contributes no pairs (single keeper), the
+    # near-dup pair survives banding
+    assert (5000, 5001) in pairs
+    assert all(not (0 < a < 1000 or 0 < b < 1000) for a, b in pairs)
+
+
+def test_lsh_bucket_cap_drops_hot_buckets_with_accounting(spark):
+    """Without the prefilter, the width cap bounds the quadratic bucket:
+    hot buckets are dropped WHOLE and the drop is accounted per band —
+    never silent."""
+    from webgraph_big_spark.datapipe.dedup import (
+        LSH_BAND_ROWS, NUM_HASHES, lsh_candidate_pairs,
+    )
+
+    docs = _adversarial_docs(spark)
+    stats = {}
+    got = lsh_candidate_pairs(docs, max_bucket_width=50, stats=stats).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    # the 1000-wide buckets are gone; fine buckets (width 2) survive
+    assert (5000, 5001) in pairs
+    assert len(pairs) < 10
+    n_bands = NUM_HASHES // LSH_BAND_ROWS
+    assert set(stats) == {f"band{b}" for b in range(n_bands)}
+    for rec in stats.values():
+        assert rec["dropped_buckets"] == 1
+        assert rec["dropped_rows"] == 1000
+
+
+def test_lsh_default_path_unchanged(spark):
+    """Defaults (no prefilter, no cap) keep the exact gate semantics:
+    every co-bucketed pair is emitted."""
+    from webgraph_big_spark.datapipe.dedup import lsh_candidate_pairs
+
+    docs = _adversarial_docs(spark, n_identical=6)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (5000, 5001) in pairs
+    assert {(a, b) for a, b in pairs if a < 1000 and b < 1000} == {
+        (a, b) for a in range(6) for b in range(6) if a < b
+    }
+
+
+# ---------------------------------------------------------------------------
 # discount-weight validation
 # ---------------------------------------------------------------------------
 

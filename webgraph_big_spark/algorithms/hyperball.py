@@ -493,6 +493,34 @@ def hyperball_registers_sql(edge_sql: str, t_max: int, log2m: int = LOG2M) -> st
     return ", ".join(parts) + f" SELECT id, {csv} AS regs_csv FROM s{t_max}"
 
 
+def hyperball_nf_sql(
+    edge_sql: str, t_max: int, log2m: int = LOG2M, round_dp: int = 3
+) -> str:
+    """Unrolled DuckDB SQL for the register-estimated neighbourhood
+    function (t, nf): the same forward register recursion as
+    ``hyperball_registers_sql``, then per round nf_t = Σ_id est(s_t)
+    rounded at ``round_dp``.  The rounding absorbs float association
+    differences: the packed Spark path (``hyperball_packed.py``) folds
+    per-row partials while this oracle (and the column design) folds a
+    balanced per-node tree — registers are integer-exact either way, so
+    the sums agree to ~1e-11 relative, far inside the rounding."""
+    c = _cfg(log2m)
+    parts = _register_rounds_sql(edge_sql, t_max, c)
+    for t in range(t_max + 1):
+        parts.append(
+            f"z{t} AS MATERIALIZED (SELECT id, ({c.zsum}) AS _z, "
+            f"({c.zeros}) AS _zeros FROM s{t})"
+        )
+        parts.append(
+            f"e{t} AS MATERIALIZED (SELECT id, {c.est_expr} AS est FROM z{t})"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {t}::BIGINT AS t, round((SELECT sum(est) FROM e{t}), {round_dp}) AS nf"
+        for t in range(t_max + 1)
+    )
+    return ", ".join(parts) + " " + selects
+
+
 def hyperball_centralities_sql(
     edge_sql: str,
     t_max: int,

@@ -17,6 +17,8 @@ byte-identical DuckDB oracle from them.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from webgraph_big_spark.datapipe.text import tokens
@@ -27,6 +29,7 @@ MH_P = 1_000_000_007
 MH_A = [131, 137, 139, 149, 151, 157, 163, 167]
 MH_B = [17, 29, 41, 53, 67, 79, 97, 103]
 NUM_HASHES = len(MH_A)
+_LOG = logging.getLogger(__name__)
 SHINGLE_K = 3
 LSH_BAND_ROWS = 2  # 8 hashes → 4 bands of 2
 SIMHASH_BITS = 32
@@ -66,16 +69,68 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefilter_exact: bool = False,
+    max_bucket_width: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
     """(doc_a, doc_b): unordered candidate pairs sharing at least one LSH
-    band (bands of ``LSH_BAND_ROWS`` consecutive minhashes)."""
+    band (bands of ``LSH_BAND_ROWS`` consecutive minhashes).
+
+    A band value shared by k documents yields k(k-1)/2 pairs out of its
+    bucket — quadratic in the hot-bucket width.  Two guards bound that
+    at pretraining scale (both OFF by default; the driver gate runs the
+    exact path):
+
+    - ``prefilter_exact``: collapse byte-identical documents to their
+      ``exact_duplicates`` keeper BEFORE signatures.  k identical docs
+      share every band bucket and alone produce k²/2 candidates that
+      Jaccard-verify to 1.0 — information already delivered (linearly)
+      by :func:`exact_duplicates`.  Candidates are then emitted between
+      distinct-content representatives only.
+    - ``max_bucket_width``: per band, buckets wider than this are
+      dropped whole (their docs almost always co-occur in other, finer
+      buckets; partial retention within a bucket would be arbitrary).
+      NEVER silent: per band, (dropped_buckets, dropped_rows) goes to
+      the module log and into ``stats`` (caller-supplied dict) as
+      ``{"band{b}": {"dropped_buckets": n, "dropped_rows": m}}``.
+    """
+    if prefilter_exact:
+        keepers = exact_duplicates(docs, text_col, id_col).select(
+            F.col("keeper").alias(id_col)
+        )
+        docs = docs.join(keepers, id_col, "left_semi")
     sig = minhash_signatures(docs, text_col, id_col).localCheckpoint(eager=True)
     n_bands = NUM_HASHES // LSH_BAND_ROWS
     pairs = None
     for b in range(n_bands):
         cols = [f"mh{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS)]
-        a = sig.select(F.col(id_col).alias("doc_a"), *cols)
-        bb = sig.select(F.col(id_col).alias("doc_b"), *cols)
+        band_sig = sig
+        if max_bucket_width is not None:
+            widths = sig.groupBy(*cols).agg(F.count("*").alias("_w"))
+            hot = widths.filter(F.col("_w") > max_bucket_width).localCheckpoint(
+                eager=True
+            )
+            n_hot, n_rows = hot.agg(
+                F.count("*"), F.coalesce(F.sum("_w"), F.lit(0))
+            ).first()
+            if stats is not None:
+                stats[f"band{b}"] = {
+                    "dropped_buckets": int(n_hot),
+                    "dropped_rows": int(n_rows),
+                }
+            if n_hot:
+                _LOG.warning(
+                    "lsh_candidate_pairs: band %d dropped %d bucket(s) "
+                    "covering %d docs (width > %d)",
+                    b, n_hot, n_rows, max_bucket_width,
+                )
+                band_sig = sig.join(hot.select(*cols), cols, "left_anti")
+        a = band_sig.select(F.col(id_col).alias("doc_a"), *cols)
+        bb = band_sig.select(F.col(id_col).alias("doc_b"), *cols)
         p = a.join(bb, cols).filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
         pairs = p if pairs is None else pairs.union(p)
     return pairs.distinct()

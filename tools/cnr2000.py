@@ -20,9 +20,13 @@ fixture with :func:`Graph.from_adjacency_text` and validates:
   the estimate is within HLL error of n² reachable-pair mass ONLY in
   relative-growth terms: monotone, converged).
 
-Usage: python tools/cnr2000.py [--skip-scc] [--hb-t N]
-(writes one JSON line; --hb-t bounds the HyperBall rounds — full
-convergence needs a quiet host window, see BENCH.md)
+Usage: python tools/cnr2000.py [--skip-scc] [--skip-wcc] [--skip-hb]
+                               [--skip-stats] [--hb-t N | --hb-converge]
+                               [--scc-run-dir DIR]
+(writes one JSON line; --hb-t bounds the HyperBall rounds, --hb-converge
+runs to changed==0 — the slow test's fixpoint; --scc-run-dir makes the
+FW-BW outer loop durably checkpointed/resumable, so a host-window kill
+costs at most one outer round)
 """
 
 from __future__ import annotations
@@ -54,6 +58,13 @@ def main() -> None:
     from webgraph_big_spark.algorithms.stats import graph_stats
 
     skip_scc = "--skip-scc" in sys.argv
+    skip_wcc = "--skip-wcc" in sys.argv
+    skip_hb = "--skip-hb" in sys.argv
+    skip_stats = "--skip-stats" in sys.argv
+    hb_converge = "--hb-converge" in sys.argv
+    scc_run_dir = None
+    if "--scc-run-dir" in sys.argv:
+        scc_run_dir = sys.argv[sys.argv.index("--scc-run-dir") + 1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     spark = get_spark("cnr2000", cpus=cpus, shuffle_partitions=32)
     res: dict = {"graph": "cnr-2000", "cpus": cpus}
@@ -72,58 +83,66 @@ def main() -> None:
     assert n == CNR_NODES, f"nodes {n} != properties {CNR_NODES}"
     assert m == CNR_ARCS, f"arcs {m} != properties {CNR_ARCS}"
 
-    t0 = time.time()
-    st = graph_stats(g)
-    res["stats_sec"] = round(time.time() - t0, 1)
-    progress(f"stats {res['stats_sec']}s")
-    res["max_outdegree"] = st["max_outdegree"]
-    res["max_indegree"] = st["max_indegree"]
-    res["dangling"] = st["dangling"]
-    res["loops"] = st["loops"]
+    if not skip_stats:
+        t0 = time.time()
+        st = graph_stats(g)
+        res["stats_sec"] = round(time.time() - t0, 1)
+        progress(f"stats {res['stats_sec']}s")
+        res["max_outdegree"] = st["max_outdegree"]
+        res["max_indegree"] = st["max_indegree"]
+        res["dangling"] = st["dangling"]
+        res["loops"] = st["loops"]
 
-    # WCC two ways — the partitions must agree exactly
-    t0 = time.time()
-    cc_star = connected_components_star(g).localCheckpoint(eager=True)
-    res["wcc_star_sec"] = round(time.time() - t0, 1)
-    progress(f"wcc_star {res['wcc_star_sec']}s")
-    t0 = time.time()
-    cc_min = connected_components(g).localCheckpoint(eager=True)
-    res["wcc_hashmin_sec"] = round(time.time() - t0, 1)
-    progress(f"wcc_hashmin {res['wcc_hashmin_sec']}s")
-    n_star = cc_star.select("comp").distinct().count()
-    n_min = cc_min.select("comp").distinct().count()
-    pairs = (
-        cc_star.withColumnRenamed("comp", "a")
-        .join(cc_min.withColumnRenamed("comp", "b"), "id")
-        .select("a", "b")
-        .distinct()
-        .count()
-    )
-    assert n_star == n_min == pairs, (n_star, n_min, pairs)
-    res["wcc_components"] = n_star
-    sizes = component_sizes(cc_star)
-    res["wcc_largest"] = int(sizes.agg(F.max("size")).first()[0])
+    cc_star = None
+    if not skip_wcc:
+        # WCC two ways — the partitions must agree exactly
+        t0 = time.time()
+        cc_star = connected_components_star(g).localCheckpoint(eager=True)
+        res["wcc_star_sec"] = round(time.time() - t0, 1)
+        progress(f"wcc_star {res['wcc_star_sec']}s")
+        t0 = time.time()
+        cc_min = connected_components(g).localCheckpoint(eager=True)
+        res["wcc_hashmin_sec"] = round(time.time() - t0, 1)
+        progress(f"wcc_hashmin {res['wcc_hashmin_sec']}s")
+        n_star = cc_star.select("comp").distinct().count()
+        n_min = cc_min.select("comp").distinct().count()
+        pairs = (
+            cc_star.withColumnRenamed("comp", "a")
+            .join(cc_min.withColumnRenamed("comp", "b"), "id")
+            .select("a", "b")
+            .distinct()
+            .count()
+        )
+        assert n_star == n_min == pairs, (n_star, n_min, pairs)
+        res["wcc_components"] = n_star
+        sizes = component_sizes(cc_star)
+        res["wcc_largest"] = int(sizes.agg(F.max("size")).first()[0])
 
-    # HyperBall m=64 registers (log2m=6); --hb-t bounds the rounds
-    hb_t = 64
-    if "--hb-t" in sys.argv:
-        hb_t = int(sys.argv[sys.argv.index("--hb-t") + 1])
-    res["hb_t_max"] = hb_t
-    t0 = time.time()
-    nf = hyperball(g, t_max=hb_t, log2m=6).collect()
-    res["hyperball_sec"] = round(time.time() - t0, 1)
-    progress(f"hyperball {res['hyperball_sec']}s")
-    ests = [r["nf"] for r in sorted(nf, key=lambda r: r["t"])]
-    assert all(b >= a * (1 - 1e-9) for a, b in zip(ests, ests[1:])), "NF not monotone"
-    res["hyperball_rounds"] = len(ests) - 1
-    res["nf_final"] = round(ests[-1], 1)
-    res["nf_t0"] = round(ests[0], 1)
+    if not skip_hb:
+        # HyperBall m=64 registers (log2m=6, the slow test's config);
+        # --hb-t bounds the rounds, --hb-converge runs to changed==0
+        hb_t: int | None = 64
+        if hb_converge:
+            hb_t = None
+        elif "--hb-t" in sys.argv:
+            hb_t = int(sys.argv[sys.argv.index("--hb-t") + 1])
+        res["hb_t_max"] = hb_t
+        t0 = time.time()
+        nf = hyperball(g, t_max=hb_t, log2m=6).collect()
+        res["hyperball_sec"] = round(time.time() - t0, 1)
+        progress(f"hyperball {res['hyperball_sec']}s")
+        ests = [r["nf"] for r in sorted(nf, key=lambda r: r["t"])]
+        assert all(b >= a * (1 - 1e-9) for a, b in zip(ests, ests[1:])), "NF not monotone"
+        res["hyperball_rounds"] = len(ests) - 1
+        res["hyperball_converged"] = hb_converge
+        res["nf_final"] = round(ests[-1], 1)
+        res["nf_t0"] = round(ests[0], 1)
 
     if not skip_scc:
         t0 = time.time()
-        scc = strongly_connected_components_fwbw(g, max_outer=10_000).localCheckpoint(
-            eager=True
-        )
+        scc = strongly_connected_components_fwbw(
+            g, max_outer=10_000, progress=progress, run_dir=scc_run_dir
+        ).localCheckpoint(eager=True)
         res["scc_sec"] = round(time.time() - t0, 1)
         progress(f"scc {res['scc_sec']}s")
         res["scc_components"] = scc.select("comp").distinct().count()
@@ -131,15 +150,16 @@ def main() -> None:
             component_sizes(scc).agg(F.max("size")).first()[0]
         )
         assert scc.count() == n
-        # containment: each SCC lies inside exactly one weak component
-        cross = (
-            scc.withColumnRenamed("comp", "s")
-            .join(cc_star.withColumnRenamed("comp", "w"), "id")
-            .select("s", "w")
-            .distinct()
-            .count()
-        )
-        assert cross == res["scc_components"], (cross, res["scc_components"])
+        if cc_star is not None:
+            # containment: each SCC lies inside exactly one weak component
+            cross = (
+                scc.withColumnRenamed("comp", "s")
+                .join(cc_star.withColumnRenamed("comp", "w"), "id")
+                .select("s", "w")
+                .distinct()
+                .count()
+            )
+            assert cross == res["scc_components"], (cross, res["scc_components"])
 
     print(json.dumps(res))
 

@@ -28,16 +28,28 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--graph", default="g2", choices=["g1", "g2"])
+    ap.add_argument(
+        "--graph", default="g2", choices=["g1", "g2", "cnr2000"],
+        help="cnr2000 = the reference's golden web graph (its published "
+        "density is 3.56 bits/link / 35.15 bits/node at BV window+ref "
+        "compression, cnr-2000.properties:3,10) — puts this engine's "
+        "parquet gap-CSR on the same yardstick",
+    )
     args = ap.parse_args()
 
     from webgraph_big_spark.session import get_spark
     from webgraph_big_spark import transforms as tr
+    from webgraph_big_spark.graph import Graph
     import __spark_entry__ as entry
 
     spark = get_spark("wbs-layout", cpus=args.cpus)
-    load = entry.load_g1 if args.graph == "g1" else entry.load_g2
-    g = load(spark, args.sf_dir)
+    if args.graph == "cnr2000":
+        from cnr2000 import CNR_TXT
+
+        g = Graph.from_adjacency_text(spark, CNR_TXT)
+    else:
+        load = entry.load_g1 if args.graph == "g1" else entry.load_g2
+        g = load(spark, args.sf_dir)
     g.edges = g.edges.localCheckpoint(eager=True)
 
     orderings = {
@@ -53,6 +65,7 @@ def main() -> None:
         out["orderings"][name] = {
             "bytes": meta["bytes"],
             "bits_per_link": round(meta["bits_per_link"], 3),
+            "bits_per_node": round(meta.get("bits_per_node", 0.0), 3),
             "arcs": meta["arcs"],
         }
         shutil.rmtree(base, ignore_errors=True)

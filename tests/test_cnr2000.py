@@ -72,3 +72,26 @@ def test_hyperball_prefix_on_real_graph(cnr):
     # round 1 ≈ n + m reachable pairs (dedup'd arcs): sanity band only,
     # HLL at m=64 carries ~13% rel std
     assert nf[1] == pytest.approx(CNR_NODES + CNR_ARCS, rel=0.25)
+
+
+def test_true_nf_fixture_and_effective_diameter():
+    """The parsed ground-truth NF (HyperBallSlowTest.java:35-44) has the
+    documented shape, and the interpolated effective diameter matches
+    the reference's NeighbourhoodFunction.effectiveDiameter definition
+    on both the real curve and hand-checkable synthetics."""
+    from tools.cnr2000 import effective_diameter, load_true_nf
+
+    nf = load_true_nf()
+    assert len(nf) == 85
+    assert nf[0] == CNR_NODES
+    assert nf[-1] == 37455851843.0
+    assert all(b >= a for a, b in zip(nf, nf[1:]))  # exact NF is monotone
+    d = effective_diameter(nf)
+    assert 25.0 < d < 26.0  # 0.9·NF(∞) falls between t=25 and t=26
+
+    # synthetic: NF = [1, 2, ..., 10]; target 0.9*10 = 9 → exactly t=8
+    assert effective_diameter([float(i) for i in range(1, 11)]) == 8.0
+    # alpha hit at t=0: diameter 0 by definition
+    assert effective_diameter([10.0, 10.0]) == 0.0
+    # midpoint interpolation: target 9.5 halfway between nf[1]=9, nf[2]=10
+    assert effective_diameter([1.0, 9.0, 10.0], alpha=0.95) == pytest.approx(1.5)

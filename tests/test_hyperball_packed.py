@@ -77,3 +77,18 @@ def test_packed_nf_parity(small_graph):
     assert set(a) == set(b)
     for t in a:
         assert b[t] == pytest.approx(a[t], rel=1e-9)
+
+
+def test_packed_converges_with_t_max_none(small_graph):
+    """``t_max=None`` runs to the register fixpoint (the slow tests'
+    convergence criterion): the final NF equals a long bounded run's and
+    the last two rounds agree (registers stopped changing)."""
+    conv = sorted(
+        (r["t"], r["nf"]) for r in hyperball_packed(small_graph, None, log2m=5).collect()
+    )
+    bounded = sorted(
+        (r["t"], r["nf"]) for r in hyperball_packed(small_graph, 30, log2m=5).collect()
+    )
+    assert conv[-1][1] == pytest.approx(bounded[-1][1], rel=1e-9)
+    assert conv[-1][0] <= 30
+    assert conv[-1][1] == pytest.approx(conv[-2][1], rel=1e-9)

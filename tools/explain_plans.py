@@ -122,6 +122,25 @@ def main() -> None:
         )
     )
 
+    # 6b. sort_by_size: component renumbering through global_rank —
+    # round 5 removed the unpartitioned Window.orderBy (one-task sort of
+    # ~#components rows)
+    from webgraph_big_spark.algorithms.components import sort_by_size
+
+    comps_demo = g1.touched_nodes().select(
+        "id", (F.col("id") % 7).alias("comp")
+    )
+    sections.append(
+        (
+            "sort_by_size (component renumber by decreasing size)",
+            "Expect NO Exchange SinglePartition / global Sort: sizes rank "
+            "through global_rank (range repartition + within-partition sort), "
+            "then a plain equi-join on comp (NOT broadcast — remap is "
+            "#components rows).",
+            sort_by_size(comps_demo),
+        )
+    )
+
     # 7. HyperBall merge round (production loop shape): edges cached
     # hash-partitioned by dst, systolic double join, 64 built-in max aggs
     from webgraph_big_spark.algorithms.hyperball import _RCOLS, _init_state

@@ -161,11 +161,15 @@ def hyperball_registers_packed(
     )
 
 
-def hyperball_packed(g: Graph, t_max: int, log2m: int = LOG2M) -> DataFrame:
+def hyperball_packed(
+    g: Graph, t_max: int | None, log2m: int = LOG2M
+) -> DataFrame:
     """(t, nf): the neighbourhood function from packed registers.  The
     per-round estimate aggregates per-row partials (Σ 2^-field and
     zero-field counts) plus the absent-slot correction — absent rows are
-    eight zero registers each."""
+    eight zero registers each.  ``t_max=None`` runs to the register
+    fixpoint (no packed word changed — the reference slow tests'
+    convergence criterion, ``HyperBallSlowTest.java:46-76``)."""
     spark = g.edges.sparkSession
     p = 1 << log2m
     a = _alpha(p)
@@ -199,6 +203,6 @@ def hyperball_packed(g: Graph, t_max: int, log2m: int = LOG2M) -> DataFrame:
         g, t_max, log2m, on_round=lambda t, state: results.append((t, estimate(state)))
     )
     # pad if the systolic loop converged early (NF is constant from there)
-    while len(results) <= t_max:
+    while t_max is not None and len(results) <= t_max:
         results.append((len(results), results[-1][1]))
     return spark.createDataFrame(results, "t long, nf double")

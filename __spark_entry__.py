@@ -33,7 +33,10 @@ from webgraph_big_spark.algorithms.labelprop import label_propagation
 from webgraph_big_spark.algorithms.triangles import triangle_edges
 from webgraph_big_spark.algorithms.bfs import bfs_distances
 from webgraph_big_spark.algorithms.stats import degree_histogram
-from webgraph_big_spark.algorithms.hyperball import neighbourhood_function_exact
+from webgraph_big_spark.algorithms.hyperball import (
+    distance_stats,
+    neighbourhood_function_exact,
+)
 
 ALPHA = 0.85
 PR_ITERS = 12
@@ -268,6 +271,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_g1(spark, sf), NF_T
     )
 
+    # NeighbourhoodFunction-class statistics (effectiveDiameter /
+    # averageDistance / spid — the utilities the reference's slow tests
+    # drive); truncated-at-NF_T semantics on both engines
+    q["distance_stats_g1"] = lambda spark, sf: distance_stats(
+        neighbourhood_function_exact(load_g1(spark, sf), NF_T)
+    )
+
     # ---- transforms ----
     q["transpose_g1"] = lambda spark, sf: tr.transpose(load_g1(spark, sf)).edges
 
@@ -409,6 +419,31 @@ def oracle_sql() -> dict[str, str]:
         "JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"
     )
     o["neighbourhood_fn_g1"] = _nf_sql(G1_SQL, NF_T)
+
+    # distance statistics from the same exact-NF closure: identical
+    # arithmetic to algorithms.hyperball.distance_stats (rounded mean
+    # reused inside spid, 6-dp rounding) so values hash-match
+    o["distance_stats_g1"] = (
+        f"WITH nfv AS MATERIALIZED ({_nf_sql(G1_SQL, NF_T)}), "
+        "d AS (SELECT t, nf::DOUBLE AS nf, "
+        "      (nf - coalesce(lag(nf) OVER (ORDER BY t), 0))::DOUBLE AS cnt, "
+        "      coalesce(lag(nf) OVER (ORDER BY t), 0)::DOUBLE AS pnf FROM nfv), "
+        "tot AS (SELECT max(nf) AS tot, 0.9 * max(nf) AS target FROM d), "
+        "mom AS (SELECT max(nf)::BIGINT AS reachable_pairs, "
+        "        round(sum(t * cnt) / (SELECT tot FROM tot), 6) AS avg_distance, "
+        "        sum(t * t * cnt) / (SELECT tot FROM tot) AS m2 FROM d), "
+        "ed AS (SELECT min(CASE "
+        "         WHEN t = 0 AND nf >= (SELECT target FROM tot) THEN 0.0 "
+        "         WHEN t > 0 AND nf >= (SELECT target FROM tot) "
+        "              AND pnf < (SELECT target FROM tot) "
+        "         THEN t - 1 + ((SELECT target FROM tot) - pnf) / (nf - pnf) "
+        "         END) AS ed FROM d) "
+        "SELECT reachable_pairs, avg_distance, round(ed, 6) AS eff_diameter, "
+        "round(CASE WHEN avg_distance > 0 "
+        "      THEN (m2 - avg_distance * avg_distance) / avg_distance "
+        "      ELSE 0.0 END, 6) AS spid "
+        "FROM mom, ed"
+    )
 
     o["transpose_g1"] = f"SELECT dst AS src, src AS dst FROM ({G1_SQL})"
     o["symmetrize_g2"] = (

@@ -228,3 +228,56 @@ def test_centralities_sql_validates_discount_weight_length():
         hyperball_centralities_sql(
             "SELECT 0 AS src, 1 AS dst", t_max=2, discount_weights=[0.5, 0.25, 0.1]
         )
+
+
+# ---------------------------------------------------------------------------
+# distance statistics (NeighbourhoodFunction-class utilities)
+# ---------------------------------------------------------------------------
+
+
+def test_distance_stats_on_path_graph(spark):
+    """Directed path 0→1→2→3: NF = [4, 7, 9, 10].  Distance
+    distribution over the 10 reachable pairs: d=0 ×4, d=1 ×3, d=2 ×2,
+    d=3 ×1 → mean 1.0, variance 1.0, spid 1.0; 0.9·10 = 9 lands
+    exactly on NF(2) → effective diameter 2.0."""
+    from webgraph_big_spark.algorithms.hyperball import (
+        distance_stats,
+        neighbourhood_function_exact,
+    )
+    from webgraph_big_spark.graph import Graph
+
+    g = Graph.from_pairs(spark, [(0, 1), (1, 2), (2, 3)], num_nodes=4)
+    nf = neighbourhood_function_exact(g, 3)
+    row = distance_stats(nf).first()
+    assert row["reachable_pairs"] == 10
+    assert row["avg_distance"] == pytest.approx(1.0)
+    assert row["spid"] == pytest.approx(1.0)
+    assert row["eff_diameter"] == pytest.approx(2.0)
+
+
+def test_distance_stats_truncation_semantics(spark):
+    """Truncated NF (t_max below the diameter) yields the statistics of
+    the restricted distribution — the documented contract that keeps
+    the Spark and DuckDB sides agreeing at every scale factor."""
+    from webgraph_big_spark.algorithms.hyperball import (
+        distance_stats,
+        neighbourhood_function_exact,
+    )
+    from webgraph_big_spark.graph import Graph
+
+    g = Graph.from_pairs(spark, [(0, 1), (1, 2), (2, 3)], num_nodes=4)
+    nf = neighbourhood_function_exact(g, 1)  # pairs within distance 1 only
+    row = distance_stats(nf).first()
+    assert row["reachable_pairs"] == 7
+    assert row["avg_distance"] == pytest.approx(3.0 / 7.0)
+    # 0.9·7 = 6.3 between NF(0)=4 and NF(1)=7 → 0 + (6.3-4)/(7-4)
+    assert row["eff_diameter"] == pytest.approx((6.3 - 4.0) / 3.0, abs=1e-6)
+
+
+def test_effective_diameter_value_single_node(spark):
+    from webgraph_big_spark.algorithms.hyperball import effective_diameter_value
+
+    assert effective_diameter_value([1.0]) == 0.0
+    assert effective_diameter_value([2.0, 10.0, 20.0, 20.0]) == pytest.approx(
+        1.0 + 8.0 / 10.0
+    )

@@ -71,17 +71,11 @@ def load_true_nf() -> list[float]:
 
 
 def effective_diameter(nf: list[float], alpha: float = 0.9) -> float:
-    """Interpolated effective diameter — smallest (fractional) d with
-    NF(d) ≥ alpha·NF(∞); the reference's
-    ``NeighbourhoodFunction.effectiveDiameter`` definition used by
-    ``EstimateEffectiveDiameterSlowTest.java:38``."""
-    target = alpha * nf[-1]
-    d = 0
-    while nf[d] < target:
-        d += 1
-    if d == 0:
-        return 0.0
-    return (d - 1) + (target - nf[d - 1]) / (nf[d] - nf[d - 1])
+    """Library ``effective_diameter_value`` (re-exported so this tool's
+    truth-check callers keep one import site)."""
+    from webgraph_big_spark.algorithms.hyperball import effective_diameter_value
+
+    return effective_diameter_value(nf, alpha)
 
 
 def main() -> None:

@@ -83,6 +83,86 @@ def neighbourhood_function_exact(g: Graph, t_max: int) -> DataFrame:
     return spark.createDataFrame(counts, "t long, nf long")
 
 
+def effective_diameter_value(nf: list[float], alpha: float = 0.9) -> float:
+    """Interpolated effective diameter — smallest (fractional) d with
+    NF(d) ≥ alpha·NF(last).  The reference's
+    ``NeighbourhoodFunction.effectiveDiameter`` definition (the class
+    its slow tests drive: ``EstimateEffectiveDiameterSlowTest.java:38``
+    asserts a HyperBall estimate of this against the exact value)."""
+    target = alpha * nf[-1]
+    d = 0
+    while nf[d] < target:
+        d += 1
+    if d == 0:
+        return 0.0
+    return (d - 1) + (target - nf[d - 1]) / (nf[d] - nf[d - 1])
+
+
+def distance_stats(nf_df: DataFrame, alpha: float = 0.9) -> DataFrame:
+    """One row ``(reachable_pairs, avg_distance, eff_diameter, spid)``
+    from a ``(t, nf)`` neighbourhood function — the distance-
+    distribution statistics the reference's ``NeighbourhoodFunction``
+    utility class derives (effectiveDiameter / averageDistance / spid,
+    the index-of-dispersion web-vs-social discriminator of Boldi &
+    Vigna's HyperANF work).  If ``nf_df`` is truncated at some t_max
+    short of the diameter, the statistics describe the distance
+    distribution restricted to d ≤ t_max (both this and the DuckDB
+    oracle in ``__spark_entry__`` apply the same truncation, so gate
+    values agree at any scale factor).
+
+    The NF table has at most diameter+1 rows, so the unpartitioned
+    ordering window here is a deliberate tiny-data exception to the
+    no-global-window rule (cf. ``sort_by_size``'s global_rank)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("t")
+    d = nf_df.select(
+        "t",
+        F.col("nf").cast("double").alias("nf"),
+        (F.col("nf") - F.coalesce(F.lag("nf").over(w), F.lit(0)))
+        .cast("double")
+        .alias("cnt"),
+        F.coalesce(F.lag("nf").over(w), F.lit(0)).cast("double").alias("pnf"),
+    )
+    tot = d.agg(F.max("nf")).first()[0]
+    target = alpha * tot
+    moments = d.agg(
+        F.max("nf").cast("long").alias("reachable_pairs"),
+        F.round((F.sum(F.col("t") * F.col("cnt")) / tot), 6).alias("avg_distance"),
+        (F.sum(F.col("t") * F.col("t") * F.col("cnt")) / tot).alias("_m2"),
+    )
+    # interpolated effective diameter: the unique t whose [pnf, nf)
+    # straddles the target (t=0 row has pnf=0; target ≤ nf(0) → 0.0)
+    ed = d.select(
+        F.when(
+            (F.col("t") == 0) & (F.col("nf") >= F.lit(target)), F.lit(0.0)
+        )
+        .when(
+            (F.col("t") > 0)
+            & (F.col("nf") >= F.lit(target))
+            & (F.col("pnf") < F.lit(target)),
+            F.col("t") - 1 + (F.lit(target) - F.col("pnf")) / (F.col("nf") - F.col("pnf")),
+        )
+        .alias("_ed")
+    ).agg(F.min("_ed").alias("_ed"))
+    return (
+        moments.crossJoin(ed)
+        .select(
+            "reachable_pairs",
+            "avg_distance",
+            F.round("_ed", 6).alias("eff_diameter"),
+            F.round(
+                F.when(
+                    F.col("avg_distance") > 0,
+                    (F.col("_m2") - F.col("avg_distance") * F.col("avg_distance"))
+                    / F.col("avg_distance"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("spid"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # HyperBall (approximate, HLL registers)
 # ---------------------------------------------------------------------------

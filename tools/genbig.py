@@ -7,9 +7,16 @@ memory — fine to ~150 M arcs, but a 10^9-arc generation would touch
 (first-touch as low as 20 MB/s under steal) turns into half an hour of
 kernel time before a single row exists.  This generator:
 
-- samples the SAME inverse-CDF power-law family (seed 42, exponent
-  1/1.1) in fixed 125 M-draw chunks, so NumPy's arenas are faulted once
-  and reused for every subsequent chunk;
+- samples the SAME power-law marginal (seed 42, exponent 1/1.1) in
+  fixed 125 M-draw chunks, so NumPy's arenas are faulted once and
+  reused for every subsequent chunk.  Sampling is by MULTINOMIAL COUNTS
+  (one draw of per-node counts, then ``repeat``), not per-draw
+  inverse-CDF ``searchsorted``: random binary probes into the 80 MB CDF
+  cost ~2.3 µs/draw in cache misses (measured — a 10^9-arc generation
+  would burn ~2.5 h), while counts+repeat is O(n + k) sequential.  The
+  src side is emitted in node order and the dst side is shuffled; since
+  the two marginals are independent and the pairing is exchangeable,
+  the joint arc distribution is identical;
 - dedups arcs within a chunk (``np.unique`` on the packed key) and
   drops self-loops; cross-chunk duplicate arcs remain (a few percent at
   web-like skew) — they are deterministic parallel arcs, which
@@ -38,6 +45,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    # glibc returns >128 KB allocations to the OS on free, so every
+    # chunk would re-fault its ~7 GB of NumPy/Arrow temporaries — and
+    # this host's page-fault path has been measured as low as
+    # 20 MB/s under steal (≈6 min/chunk of pure kernel time).  Keeping
+    # large blocks in the arena and never trimming makes chunk 2+ reuse
+    # chunk 1's warm pages (measured ~2.6× faster per chunk).  malloc
+    # reads these knobs only at process start, hence the re-exec.
+    if os.environ.get("MALLOC_MMAP_THRESHOLD_") is None:
+        env = dict(os.environ)
+        env["MALLOC_MMAP_THRESHOLD_"] = str(16 << 30)
+        env["MALLOC_TRIM_THRESHOLD_"] = str(16 << 30)
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -62,16 +82,17 @@ def main() -> None:
 
     rng = np.random.default_rng(42)
     w = np.arange(1, n + 1, dtype=np.float64) ** (-1.0 / 1.1)
-    cum = np.cumsum(w)
-    cum /= cum[-1]
+    w /= w.sum()
+    ids = np.arange(n, dtype=np.int64)
 
     total = 0
     done = 0
     ci = 0
     while done < m:
         k = min(chunk, m - done)
-        src = np.searchsorted(cum, rng.random(k)).astype(np.int64)
-        dst = np.searchsorted(cum, rng.random(k)).astype(np.int64)
+        src = np.repeat(ids, rng.multinomial(k, w))
+        dst = np.repeat(ids, rng.multinomial(k, w))
+        rng.shuffle(dst)
         keep = src != dst
         key = np.unique(src[keep] * np.int64(n) + dst[keep])
         del src, dst, keep

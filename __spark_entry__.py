@@ -437,8 +437,11 @@ def oracle_sql() -> dict[str, str]:
         "         WHEN t > 0 AND nf >= (SELECT target FROM tot) "
         "              AND pnf < (SELECT target FROM tot) "
         "         THEN t - 1 + ((SELECT target FROM tot) - pnf) / (nf - pnf) "
-        "         END) AS ed FROM d) "
+        "         END) AS ed, "
+        "       min(CASE WHEN nf >= 0.5 * (SELECT tot FROM tot) THEN t END)::BIGINT "
+        "         AS median_distance FROM d) "
         "SELECT reachable_pairs, avg_distance, round(ed, 6) AS eff_diameter, "
+        "median_distance, "
         "round(CASE WHEN avg_distance > 0 "
         "      THEN (m2 - avg_distance * avg_distance) / avg_distance "
         "      ELSE 0.0 END, 6) AS spid "

@@ -253,6 +253,8 @@ def test_distance_stats_on_path_graph(spark):
     assert row["avg_distance"] == pytest.approx(1.0)
     assert row["spid"] == pytest.approx(1.0)
     assert row["eff_diameter"] == pytest.approx(2.0)
+    # 0.5·10 = 5 first reached at NF(1)=7 → integer median distance 1
+    assert row["median_distance"] == 1
 
 
 def test_distance_stats_truncation_semantics(spark):

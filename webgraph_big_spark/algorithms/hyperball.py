@@ -99,12 +99,15 @@ def effective_diameter_value(nf: list[float], alpha: float = 0.9) -> float:
 
 
 def distance_stats(nf_df: DataFrame, alpha: float = 0.9) -> DataFrame:
-    """One row ``(reachable_pairs, avg_distance, eff_diameter, spid)``
-    from a ``(t, nf)`` neighbourhood function — the distance-
-    distribution statistics the reference's ``NeighbourhoodFunction``
-    utility class derives (effectiveDiameter / averageDistance / spid,
-    the index-of-dispersion web-vs-social discriminator of Boldi &
-    Vigna's HyperANF work).  If ``nf_df`` is truncated at some t_max
+    """One row ``(reachable_pairs, avg_distance, eff_diameter,
+    median_distance, spid)`` from a ``(t, nf)`` neighbourhood function —
+    the distance-distribution statistics the reference's
+    ``NeighbourhoodFunction`` utility class derives (effectiveDiameter /
+    averageDistance / medianDistance / spid, the index-of-dispersion
+    web-vs-social discriminator of Boldi & Vigna's HyperANF work).
+    ``median_distance`` is the smallest INTEGER t with NF(t) ≥ ½·NF(last)
+    (the reference's definition — not interpolated, unlike the
+    effective diameter).  If ``nf_df`` is truncated at some t_max
     short of the diameter, the statistics describe the distance
     distribution restricted to d ≤ t_max (both this and the DuckDB
     oracle in ``__spark_entry__`` apply the same truncation, so gate
@@ -143,14 +146,16 @@ def distance_stats(nf_df: DataFrame, alpha: float = 0.9) -> DataFrame:
             & (F.col("pnf") < F.lit(target)),
             F.col("t") - 1 + (F.lit(target) - F.col("pnf")) / (F.col("nf") - F.col("pnf")),
         )
-        .alias("_ed")
-    ).agg(F.min("_ed").alias("_ed"))
+        .alias("_ed"),
+        F.when(F.col("nf") >= F.lit(0.5 * tot), F.col("t")).alias("_md"),
+    ).agg(F.min("_ed").alias("_ed"), F.min("_md").cast("long").alias("median_distance"))
     return (
         moments.crossJoin(ed)
         .select(
             "reachable_pairs",
             "avg_distance",
             F.round("_ed", 6).alias("eff_diameter"),
+            "median_distance",
             F.round(
                 F.when(
                     F.col("avg_distance") > 0,

@@ -95,16 +95,23 @@ def pagerank(
     RANK_ROW_BYTES = 32  # 8B id + 8B rank + row overhead, conservative
     use_broadcast = n * RANK_ROW_BYTES <= broadcast_threshold_bytes
 
-    edges_base = g.edges.select("src", "dst").join(
-        g.out_degrees().withColumnRenamed("id", "src"), "src"
-    )
     if use_broadcast:
-        # broadcast path: the degree join's src-shuffle would leave every
-        # mega-hub's arcs in ONE partition for the rest of the run —
-        # rebalance round-robin so scan tasks are even (locality is
-        # irrelevant when ranks are broadcast).
-        edges_w = edges_base.repartition(spark_parallelism).localCheckpoint(eager=True)
+        # broadcast path: the degree side is ≤ n rows — the SAME bound
+        # that qualified the rank side for broadcast — so attach outdeg
+        # with a broadcast join instead of a src-shuffle SMJ: the edge
+        # table is never exchanged at setup (guide §2.4/§3.1; the old
+        # path paid degree-shuffle + SMJ + a round-robin rebalance, three
+        # full passes of the edge table, before the loop even started).
+        # Input partitioning is whatever the source scan produced, which
+        # is round-robin-ish — no hub concentration to undo.
+        edges_base = g.edges.select("src", "dst").join(
+            F.broadcast(g.out_degrees().withColumnRenamed("id", "src")), "src"
+        )
+        edges_w = edges_base.localCheckpoint(eager=True)
     else:
+        edges_base = g.edges.select("src", "dst").join(
+            g.out_degrees().withColumnRenamed("id", "src"), "src"
+        )
         # co-partition path — see co_partitioned for the full recipe:
         # each iteration's join satisfies its distribution requirement
         # from the cache and only the rank side is exchanged.
@@ -123,6 +130,20 @@ def pagerank(
 
     def initial() -> DataFrame:
         return g.nodes().select("id", F.lit(1.0 / n).alias("rank"))
+
+    # Nodes with no in-arc never receive inflow: their new rank is the
+    # same constant expression every round.  The set is STATIC, so
+    # precompute it once and make each round a (contribs ∪ constant)
+    # union instead of an n-row outer join — the per-round sort-merge
+    # join of the full node set against contribs disappears from the
+    # loop entirely (guide §2.4: remove shuffles outright).  The float
+    # expression keeps the literal `0.0 + inflow-shaped` form so ranks
+    # are bit-identical to the old coalesce(inflow, 0.0) path.
+    no_in = (
+        g.nodes()
+        .join(g.edges.select(F.col("dst").alias("id")).distinct(), "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
 
     def step(ranks: DataFrame, it: int):
         # One lazy plan per round.  Σ ranks ≡ 1 (the update preserves it),
@@ -156,21 +177,23 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
         )
         tot = contribs.agg(F.coalesce(F.sum("inflow"), F.lit(0.0)).alias("_tot"))
-        new_ranks = (
-            ranks.select("id")
-            .join(contribs, "id", "left")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - alpha) / n)
-                    + F.lit(alpha)
-                    * (
-                        F.coalesce("inflow", F.lit(0.0))
-                        + (F.lit(1.0) - F.col("_tot")) / n
-                    )
-                ).alias("rank"),
-            )
+        btot = F.broadcast(tot)
+
+        def _rank_expr(inflow_col):
+            return (
+                F.lit((1.0 - alpha) / n)
+                + F.lit(alpha)
+                * (inflow_col + (F.lit(1.0) - F.col("_tot")) / n)
+            ).alias("rank")
+
+        # every node with an in-arc appears in contribs every round (all
+        # sources carry a rank), so the old n-row left join + coalesce
+        # splits exactly into contribs rows (inflow) ∪ the static no-in
+        # set (inflow ≡ 0.0) — a join-free union
+        new_ranks = contribs.crossJoin(btot).select(
+            "id", _rank_expr(F.col("inflow"))
+        ).unionByName(
+            no_in.crossJoin(btot).select("id", _rank_expr(F.lit(0.0)))
         )
         if fixed_iterations is not None:
             changed = None if it + 1 < fixed_iterations else 0

@@ -155,7 +155,9 @@ class IterativeRunner:
             t0 = time.time()
             new_plan, changed = step(state, it)
             new_state = new_plan.localCheckpoint(eager=True)  # truncate lineage
-            n_rows = new_state.count()
+            # row-count metric: one extra (tiny but not free) job per round —
+            # only pay for it when a run_dir wants durable metrics/manifests
+            n_rows = new_state.count() if self.run_dir else None
             if changed is None and check is not None:
                 changed = check(state, new_state, it)
             it += 1

@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # partition counts follow BYTES, not the core count (guide §2.2):
+        # parallelismFirst=true (the default) refuses to coalesce below
+        # the local core count, so every tiny iterative-state shuffle
+        # still runs `cpus` near-empty tasks; sizing by advisory bytes is
+        # the setting that behaves the same on local[32] and on a
+        # 1000-executor cluster (big inputs keep big parallelism).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from webgraph_big_spark.graph import Graph, co_partitioned
-from webgraph_big_spark.transforms import symmetrize
 
 
 def bfs_distances(
@@ -37,10 +36,20 @@ def bfs_distances(
     id, as the reference's roots point at themselves).
     """
     spark = g.edges.sparkSession
-    gs = g if symmetric else symmetrize(g)
+    if symmetric:
+        arc_view = g.edges.select("src", "dst")
+    else:
+        # undirected expansion = arcs in both directions.  Deliberately
+        # NOT symmetrize() (union + distinct): reachability is unchanged
+        # by duplicate arcs (the frontier is dedup'd per level, parents
+        # take min), so the dedup shuffle before the pin is pure cost —
+        # guide §2.4, remove shuffles outright.
+        arc_view = g.edges.select("src", "dst").union(
+            g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     # hash-partitioned by the expansion key and pinned: per level only
     # the frontier moves (see co_partitioned for the full recipe)
-    edges = co_partitioned(gs.edges.select("src", "dst"), "src")
+    edges = co_partitioned(arc_view, "src")
 
     if isinstance(sources, DataFrame):
         src_df = sources.select(F.col("id").cast("long"))
@@ -67,8 +76,12 @@ def bfs_distances(
             )
         else:
             nxt_base = expand.select(F.col("dst").alias("id")).distinct()
+        # shuffle_hash on the visited side: nxt_base is already hash-
+        # partitioned by id (distinct/groupBy above), so the anti join
+        # exchanges only the visited set and skips the two sorts an SMJ
+        # would add per level
         nxt = (
-            nxt_base.join(visited.select("id"), "id", "left_anti")
+            nxt_base.join(visited.select("id").hint("shuffle_hash"), "id", "left_anti")
             .select(
                 "id",
                 F.lit(depth).alias("dist"),

@@ -24,11 +24,9 @@ Two implementations:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from webgraph_big_spark.checkpoint import IterativeRunner
 from webgraph_big_spark.graph import Graph, co_partitioned
-from webgraph_big_spark.transforms import symmetrize
 
 
 def connected_components(
@@ -47,17 +45,26 @@ def connected_components(
     otherwise arcs are used in both directions (WCC semantics).
     """
     spark = g.edges.sparkSession
-    gs = g if symmetric else symmetrize(g)
+    if symmetric:
+        arc_view = g.edges.select("src", "dst")
+    else:
+        # arcs in both directions WITHOUT symmetrize()'s dedup: the
+        # per-round merge is groupBy-min, which duplicate arcs cannot
+        # change, so the distinct shuffle before the pin is pure setup
+        # cost (guide §2.4 — remove shuffles outright)
+        arc_view = g.edges.select("src", "dst").union(
+            g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     # hash-partitioned by the per-round join key and pinned: only state
     # rows move per round (see co_partitioned for the full recipe)
-    edges = co_partitioned(gs.edges.select("src", "dst"), "src")
+    edges = co_partitioned(arc_view, "src")
 
     # dense graphs expose the FULL [0, n) node set whether or not n was
     # declared (g.nodes() derives it) — so isolated/gap ids get the same
     # treatment here as in pagerank()/nodes(); only scattered-id graphs
     # fall back to touched endpoints.
     nodes = (
-        g.nodes() if include_isolated and g.dense else gs.touched_nodes()
+        g.nodes() if include_isolated and g.dense else g.touched_nodes()
     ).cache()
 
     def initial() -> DataFrame:
@@ -127,11 +134,13 @@ def connected_components_star(
         mins = nbrs.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # no dedup here: small_star's groupBy-min is duplicate-proof and
+        # its own final distinct canonicalizes the round's output — the
+        # intermediate distinct was a full extra shuffle per round
         return (
             nbrs.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
 
     def small_star(rel: DataFrame) -> DataFrame:

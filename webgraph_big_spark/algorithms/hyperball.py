@@ -301,8 +301,11 @@ def _hyperball_loop(g: Graph, t_max: int | None, on_round, log2m: int = LOG2M):
     k_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     from webgraph_big_spark.graph import co_partitioned
 
+    # no ``distinct()`` before the pin: register max-merge is idempotent,
+    # so duplicate arcs cannot change any merged register — the dedup
+    # shuffle ahead of the repartition was pure setup cost (guide §2.4)
     edges = co_partitioned(
-        g.edges.select("src", "dst").distinct(), "dst", num_partitions=k_part
+        g.edges.select("src", "dst"), "dst", num_partitions=k_part
     )
     try:
         state = _with_est(_init_state(g, log2m), c).localCheckpoint(eager=True)
@@ -343,17 +346,20 @@ def _hyperball_loop(g: Graph, t_max: int | None, on_round, log2m: int = LOG2M):
             old_named = state.selectExpr(
                 "id", *[f"r{k} AS o{k}" for k in range(c.p)], "est AS old_est"
             )
-            touched = gathered.join(old_named, "id").selectExpr(
-                "id", *merged_exprs, "old_est", f"({chg_expr}) AS _chg"
+            # ONE left join replaces the old inner-join + anti-join +
+            # union state rebuild: rows without messages keep their
+            # registers (coalesce(m,0) is absent → greatest(o,0)=o) and
+            # recompute the SAME est bits from the same registers, so
+            # their (est - old_est) delta is exactly +0.0 — an IEEE
+            # no-op in every accumulator downstream.  The full state is
+            # materialized once per round instead of twice.
+            touched = (
+                old_named.join(gathered.hint("shuffle_hash"), "id", "left")
+                .selectExpr("id", *merged_exprs, "old_est", f"({chg_expr}) AS _chg")
             )
             touched = _with_est(touched, c).localCheckpoint(eager=True)
             new_changed = touched.filter(F.col("_chg")).select("id")
-            state = (
-                state.join(touched.select("id"), "id", "left_anti")
-                .select("id", *c.rcols, "est")
-                .unionByName(touched.select("id", *c.rcols, "est"))
-                .localCheckpoint(eager=True)
-            )
+            state = touched.select("id", *c.rcols, "est")
             n_changed = on_round(t, state, touched, new_changed)
             if n_changed == 0:
                 break
@@ -363,10 +369,29 @@ def _hyperball_loop(g: Graph, t_max: int | None, on_round, log2m: int = LOG2M):
         edges.unpersist()
 
 
-def hyperball(g: Graph, t_max: int, log2m: int = LOG2M) -> DataFrame:
+def hyperball(g: Graph, t_max: int | None, log2m: int = LOG2M) -> DataFrame:
     """(t, nf_estimate) for t = 0..t_max: approximate neighbourhood
-    function.  NF updates are incremental sums of touched-node estimate
-    deltas — untouched nodes cost nothing per round."""
+    function.
+
+    Delegates to the packed-register engine
+    (:func:`webgraph_big_spark.algorithms.hyperball_packed.hyperball_packed`):
+    identical register values (both layouts hash-gate against the same
+    unrolled oracle), but plan width O(1) in m instead of O(m) — measured
+    2x faster warm and substantially cheaper to codegen-compile cold
+    (OPTIMIZATION_r06.md).  NF estimates agree with the column engine to
+    float round-off (different partial-sum association order).  The
+    column loop below (`_hyperball_loop`) remains the engine for the
+    register/centrality gates, whose oracles mirror its exact float
+    expression order."""
+    from webgraph_big_spark.algorithms.hyperball_packed import hyperball_packed
+
+    return hyperball_packed(g, t_max, log2m)
+
+
+def _hyperball_column_nf(g: Graph, t_max: int, log2m: int = LOG2M) -> DataFrame:
+    """The original column-layout NF estimator (kept for parity tests
+    and as the reference implementation of the incremental-delta NF
+    accumulation)."""
     spark = g.edges.sparkSession
     c = _cfg(log2m)
     results: list[tuple[int, float]] = []
@@ -402,8 +427,11 @@ def hyperball(g: Graph, t_max: int, log2m: int = LOG2M) -> DataFrame:
         state0 = _with_est(_init_state(g, log2m), c)
         nf[0] = float(state0.agg(F.coalesce(F.sum("est"), F.lit(0.0))).first()[0])
         results.append((0, nf[0]))
-    # pad to t_max if the systolic loop converged early (NF is constant)
-    while len(results) <= t_max:
+    # pad to t_max if the systolic loop converged early (NF is constant);
+    # t_max=None (run to the fixpoint) needs no padding — guard like
+    # hyperball_packed does, so a converged t_max=None run returns
+    # instead of raising TypeError after the whole computation
+    while t_max is not None and len(results) <= t_max:
         results.append((len(results), nf[0]))
     return spark.createDataFrame(results, "t long, nf double")
 

@@ -83,8 +83,10 @@ def _packed_loop(g: Graph, t_max: int | None, log2m: int, on_round=None):
     8 algebraic max aggregates — all codegen'd, O(1) plan width in m."""
     spark = g.edges.sparkSession
     k_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # no ``distinct()`` before the pin: the field-wise max merge is
+    # idempotent, duplicate arcs cannot change any register (guide §2.4)
     edges = co_partitioned(
-        g.edges.select("src", "dst").distinct(), "dst", num_partitions=k_part
+        g.edges.select("src", "dst"), "dst", num_partitions=k_part
     )
     try:
         state = _packed_init(g, log2m).localCheckpoint(eager=True)
@@ -109,7 +111,7 @@ def _packed_loop(g: Graph, t_max: int | None, log2m: int, on_round=None):
                 )
             )
             merged = (
-                state.join(msgs, ["id", "slot"], "full")
+                state.join(msgs.hint("shuffle_hash"), ["id", "slot"], "full")
                 .selectExpr(
                     "id",
                     "slot",

@@ -89,20 +89,30 @@ def _reach(
         pinned = co_partitioned(edges, s)
     visited = seeds.select("id").distinct().localCheckpoint(eager=True)
     frontier = visited
+    depth = 0
     try:
         while True:
+            depth += 1
+            # shuffle_hash on the visited side: the candidate set is
+            # already hash-partitioned by id after the distinct, so the
+            # anti join exchanges only `visited` and skips SMJ sorts
             nxt = (
                 pinned.join(
                     frontier.withColumnRenamed("id", s).hint("shuffle_hash"), s
                 )
                 .select(F.col(d).alias("id"))
                 .distinct()
-                .join(visited, "id", "left_anti")
+                .join(visited.hint("shuffle_hash"), "id", "left_anti")
                 .localCheckpoint(eager=True)
             )
             if nxt.isEmpty():
                 return visited
-            visited = visited.union(nxt).localCheckpoint(eager=True)
+            # lazy union of checkpointed levels — re-materializing the
+            # whole visited set every level was one extra O(|reached|)
+            # job per level; truncate the chain periodically instead
+            visited = visited.union(nxt)
+            if depth % 8 == 0:
+                visited = visited.localCheckpoint(eager=True)
             frontier = nxt
     finally:
         if owns_pin:
@@ -112,25 +122,39 @@ def _reach(
 def _peel_trivial(edges: DataFrame, nodes: DataFrame, max_rounds: int = 64):
     """Iteratively peel nodes with in- or out-degree 0 inside the current
     node set — each is a singleton SCC.  Returns (remaining_edges,
-    remaining_nodes, peeled_nodes)."""
-    spark = edges.sparkSession
-    peeled = spark.createDataFrame([], "id long")
+    remaining_nodes, peeled_nodes).
+
+    The per-round peeled set is never needed individually (every peeled
+    node gets ``comp = id``), so the loop tracks ONLY the shrinking edge
+    set — 2 jobs per round (materialize + cached count) instead of the
+    5 the per-round gone/peeled bookkeeping used to cost — and derives
+    ``peeled = nodes − endpoints-with-both-degrees`` once at the end."""
+    prev_cnt = edges.count()
     for _ in range(max_rounds):
         srcs = edges.select(F.col("src").alias("id")).distinct()
         dsts = edges.select(F.col("dst").alias("id")).distinct()
-        core = srcs.join(dsts, "id").localCheckpoint(eager=True)
-        gone = nodes.join(core, "id", "left_anti").localCheckpoint(eager=True)
-        if gone.isEmpty():
-            break
-        peeled = peeled.union(gone).localCheckpoint(eager=True)
-        nodes = core
-        edges = (
+        core = srcs.join(dsts, "id")
+        new_edges = (
             edges.join(core.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(core.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-    return edges, nodes, peeled
+        cnt = new_edges.count()
+        edges = new_edges
+        if cnt == prev_cnt:
+            # arcs only ever shrink: equal count ⇔ identical arc set ⇔
+            # identical core next round — fixpoint
+            break
+        prev_cnt = cnt
+    remaining = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .join(edges.select(F.col("dst").alias("id")).distinct(), "id")
+        .localCheckpoint(eager=True)
+    )
+    peeled = nodes.join(remaining, "id", "left_anti").localCheckpoint(eager=True)
+    return edges, remaining, peeled
 
 
 def _fwbw_checkpoint(
@@ -308,20 +332,20 @@ def strongly_connected_components_fwbw(
                         .groupBy(F.col("dst").alias("id"))
                         .agg(F.max("color").alias("mx"))
                     )
+                    # change detection rides in the same plan (a color
+                    # changed ⇔ an incoming max exceeded it) — the old
+                    # separate new-vs-old join was a full SMJ per round
                     new_color = (
-                        color.join(msgs, "id", "left")
+                        color.join(msgs.hint("shuffle_hash"), "id", "left")
                         .select(
                             "id",
                             F.greatest("color", F.coalesce("mx", "color")).alias("color"),
+                            (F.coalesce("mx", "color") > F.col("color")).alias("_chg"),
                         )
                         .localCheckpoint(eager=True)
                     )
-                    n_changed = (
-                        new_color.join(color.withColumnRenamed("color", "old"), "id")
-                        .filter(F.col("color") != F.col("old"))
-                        .count()
-                    )
-                    color = new_color
+                    n_changed = new_color.filter(F.col("_chg")).count()
+                    color = new_color.select("id", "color")
                     if n_changed == 0:
                         break
                 # multi-source backward reach from every color root,
@@ -329,7 +353,9 @@ def strongly_connected_components_fwbw(
                 roots = color.filter(F.col("id") == F.col("color")).select("id", "color")
                 member = roots.localCheckpoint(eager=True)
                 frontier = member
+                bdepth = 0
                 while True:
+                    bdepth += 1
                     nxt = (
                         bwd.join(
                             frontier.select(F.col("id").alias("dst"), "color").hint(
@@ -339,15 +365,23 @@ def strongly_connected_components_fwbw(
                         )
                         .select(F.col("src").alias("id"), "color")
                         .distinct()
-                        .join(color.withColumnRenamed("color", "c2"), "id")
+                        .join(
+                            color.withColumnRenamed("color", "c2").hint("shuffle_hash"),
+                            "id",
+                        )
                         .filter(F.col("color") == F.col("c2"))
                         .select("id", "color")
-                        .join(member.select("id"), "id", "left_anti")
+                        .join(member.select("id").hint("shuffle_hash"), "id", "left_anti")
                         .localCheckpoint(eager=True)
                     )
                     if nxt.isEmpty():
                         break
-                    member = member.union(nxt).localCheckpoint(eager=True)
+                    # lazy union of checkpointed levels (cf. _reach): the
+                    # full-member re-materialization per level was an
+                    # extra O(|member|) job each round
+                    member = member.union(nxt)
+                    if bdepth % 8 == 0:
+                        member = member.localCheckpoint(eager=True)
                     frontier = nxt
                 # comp label = min id within each discovered SCC
                 say(f"outer {outer}: assigning color-root SCCs")

@@ -43,14 +43,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # partition counts follow BYTES, not the core count (guide §2.2):
-        # parallelismFirst=true (the default) refuses to coalesce below
-        # the local core count, so every tiny iterative-state shuffle
-        # still runs `cpus` near-empty tasks; sizing by advisory bytes is
-        # the setting that behaves the same on local[32] and on a
-        # 1000-executor cluster (big inputs keep big parallelism).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # NB (measured, round 6): leave coalescing at Spark's defaults.
+        # parallelismFirst=false + a 64m advisory was tried and REGRESSED
+        # the mid-size stages (10-20 MB shuffles collapse to one task at
+        # sf0.1) while the tiny iterative-state exchanges already
+        # coalesce under the default 1 MB minPartitionSize floor; an A/B
+        # on scc_fwbw showed ~30% loss with bytes-first coalescing.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -298,15 +298,12 @@ def _hyperball_loop(g: Graph, t_max: int | None, on_round, log2m: int = LOG2M):
     per-round joins never re-exchange it (see module docstring)."""
     c = _cfg(log2m)
     spark = g.edges.sparkSession
-    k_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     from webgraph_big_spark.graph import co_partitioned
 
     # no ``distinct()`` before the pin: register max-merge is idempotent,
     # so duplicate arcs cannot change any merged register — the dedup
     # shuffle ahead of the repartition was pure setup cost (guide §2.4)
-    edges = co_partitioned(
-        g.edges.select("src", "dst"), "dst", num_partitions=k_part
-    )
+    edges = co_partitioned(g.edges.select("src", "dst"), "dst")
     try:
         state = _with_est(_init_state(g, log2m), c).localCheckpoint(eager=True)
         changed = state.select("id")  # round 0: everything is new

@@ -82,12 +82,9 @@ def _packed_loop(g: Graph, t_max: int | None, log2m: int, on_round=None):
     converged state.  Hot path: two joins + one (id, slot) groupBy with
     8 algebraic max aggregates — all codegen'd, O(1) plan width in m."""
     spark = g.edges.sparkSession
-    k_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # no ``distinct()`` before the pin: the field-wise max merge is
     # idempotent, duplicate arcs cannot change any register (guide §2.4)
-    edges = co_partitioned(
-        g.edges.select("src", "dst"), "dst", num_partitions=k_part
-    )
+    edges = co_partitioned(g.edges.select("src", "dst"), "dst")
     try:
         state = _packed_init(g, log2m).localCheckpoint(eager=True)
         changed = state  # round 0: every row is new

@@ -80,7 +80,6 @@ def pagerank(
     # localCheckpoint), so each iteration's rank join is a shuffled hash
     # join that exchanges ONLY the rank rows — the edge table never
     # reshuffles, the bucketed-table pattern without a metastore.
-    spark_parallelism = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if broadcast_threshold_bytes is None:
         raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
         digits = "".join(ch for ch in str(raw) if ch.isdigit() or ch == "-")
@@ -120,13 +119,9 @@ def pagerank(
                 "_salt",
                 F.pmod(F.xxhash64("dst"), F.lit(salt_buckets)).cast("int"),
             )
-            edges_w = co_partitioned(
-                edges_base, "src", "_salt", num_partitions=spark_parallelism
-            )
+            edges_w = co_partitioned(edges_base, "src", "_salt")
         else:
-            edges_w = co_partitioned(
-                edges_base, "src", num_partitions=spark_parallelism
-            )
+            edges_w = co_partitioned(edges_base, "src")
 
     def initial() -> DataFrame:
         return g.nodes().select("id", F.lit(1.0 / n).alias("rank"))

@@ -119,24 +119,34 @@ def _reach(
             pinned.unpersist()
 
 
-def _peel_trivial(edges: DataFrame, nodes: DataFrame, max_rounds: int = 64):
+def _peel_trivial(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_rounds: int = 64,
+    broadcast_core: bool = False,
+):
     """Iteratively peel nodes with in- or out-degree 0 inside the current
     node set — each is a singleton SCC.  Returns (remaining_edges,
     remaining_nodes, peeled_nodes).
 
     The per-round peeled set is never needed individually (every peeled
     node gets ``comp = id``), so the loop tracks ONLY the shrinking edge
-    set — 2 jobs per round (materialize + cached count) instead of the
-    5 the per-round gone/peeled bookkeeping used to cost — and derives
-    ``peeled = nodes − endpoints-with-both-degrees`` once at the end."""
+    set — 3 jobs per round (core + edges materialize + cached count)
+    instead of the 5 the per-round gone/peeled bookkeeping used to cost
+    — and derives ``peeled = nodes − endpoints-with-both-degrees`` once
+    at the end.  ``core`` is checkpointed so the two semi joins share
+    one computation, and broadcast when the caller certifies the node
+    set fits (``broadcast_core``) — the edge table then never shuffles
+    during peeling."""
     prev_cnt = edges.count()
     for _ in range(max_rounds):
         srcs = edges.select(F.col("src").alias("id")).distinct()
         dsts = edges.select(F.col("dst").alias("id")).distinct()
-        core = srcs.join(dsts, "id")
+        core = srcs.join(dsts, "id").localCheckpoint(eager=True)
+        core_side = F.broadcast(core) if broadcast_core else core
         new_edges = (
-            edges.join(core.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(core.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            edges.join(core_side.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(core_side.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
@@ -282,10 +292,26 @@ def strongly_connected_components_fwbw(
         nodes = g.nodes().localCheckpoint(eager=True)
         done = spark.createDataFrame([], "id long, comp long")
 
+    # memory-aware broadcast decision for the peel-phase semi joins: the
+    # core set is ≤ |nodes| ids; broadcast it (edge table never shuffles
+    # while peeling) exactly when it fits the session's broadcast
+    # threshold — the same rule pagerank applies to its rank side
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    digits = "".join(ch for ch in str(raw) if ch.isdigit() or ch == "-")
+    bcast_bytes = int(digits) if digits else 10485760
+    if str(raw).lower().rstrip("b").endswith("m"):
+        bcast_bytes *= 1 << 20
+    elif str(raw).lower().rstrip("b").endswith("k"):
+        bcast_bytes *= 1 << 10
+    elif str(raw).lower().rstrip("b").endswith("g"):
+        bcast_bytes *= 1 << 30
+    n_nodes0 = nodes.count()
+    bcast_core = 0 < n_nodes0 * 32 <= bcast_bytes
+
     while True:
         outer += 1
         say(f"outer {outer}: peeling")
-        edges, nodes, peeled = _peel_trivial(edges, nodes)
+        edges, nodes, peeled = _peel_trivial(edges, nodes, broadcast_core=bcast_core)
         if not peeled.isEmpty():
             done = done.union(peeled.select("id", F.col("id").alias("comp")))
         if nodes.isEmpty():
@@ -297,9 +323,15 @@ def strongly_connected_components_fwbw(
                 "(bounded by the number of SCCs in the worst case)"
             )
 
-        # ONE pin per direction per outer round, shared by all phases
-        fwd = co_partitioned(edges, "src")
-        bwd = co_partitioned(edges, "dst")
+        # ONE pin per direction per outer round, shared by all phases;
+        # the two repartition+cache+count materializations are
+        # independent — overlap them (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2) as _pool:
+            _fwd_f = _pool.submit(co_partitioned, edges, "src")
+            _bwd_f = _pool.submit(co_partitioned, edges, "dst")
+            fwd, bwd = _fwd_f.result(), _bwd_f.result()
         try:
             if outer < giant_pivots:
                 # FW-BW from the deterministic pivot (min id) — catches
@@ -308,8 +340,15 @@ def strongly_connected_components_fwbw(
                 pivot = nodes.agg(F.min("id")).first()[0]
                 say(f"outer {outer}: FW-BW pivot {pivot}")
                 seed = spark.createDataFrame([(int(pivot),)], "id long")
-                fw = _reach(edges, seed, forward=True, pinned=fwd)
-                bw = _reach(edges, seed, forward=False, pinned=bwd)
+                # forward and backward reachability are independent jobs
+                # over different pins — overlap them (guide §2.6) so one
+                # reach's per-level driver latency backfills the other's
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fw_f = pool.submit(_reach, edges, seed, True, fwd)
+                    bw_f = pool.submit(_reach, edges, seed, False, bwd)
+                    fw, bw = fw_f.result(), bw_f.result()
                 scc = fw.join(bw, "id").localCheckpoint(eager=True)
                 comp = scc.agg(F.min("id")).first()[0]
                 done = done.union(scc.select("id", F.lit(int(comp)).alias("comp")))

@@ -41,6 +41,10 @@ ARC_SCHEMA = T.StructType(
 )
 
 
+TARGET_PIN_PARTITION_BYTES = 32 * 1024 * 1024
+_PIN_ROW_BYTES_PER_COL = 16  # long column in an UnsafeRow, incl. overhead
+
+
 def co_partitioned(
     df: DataFrame, *keys: str, num_partitions: int | None = None
 ) -> DataFrame:
@@ -65,10 +69,25 @@ def co_partitioned(
       sort-merge join that re-Exchanges this big side every round.
 
     Callers own the cache: ``unpersist()`` when the loop finishes.
+
+    ``num_partitions`` defaults to a SIZE-DERIVED count (guide §2.2:
+    partition by bytes, not by a constant tuned to either local mode or
+    one cluster): one cheap count of the source sizes the pin at
+    ~``TARGET_PIN_PARTITION_BYTES`` per partition.  A 20 MB sf0.1 edge
+    table pins as ONE partition — every per-round join stage then runs
+    one real task instead of `cpus` near-empty ones — while a 2 TB
+    production table pins as ~64k partitions, with no config change.
+    Iterative-loop stages inherit the pin's partition count (the state
+    side must co-partition), so this one number sets the whole loop's
+    per-round task count.
     """
     spark = df.sparkSession
-    k = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pinned = df.repartition(k, *keys).cache()
+    k = num_partitions
+    if k is None:
+        rows = df.count()
+        est_bytes = rows * _PIN_ROW_BYTES_PER_COL * max(len(df.columns), 1)
+        k = max(1, -(-est_bytes // TARGET_PIN_PARTITION_BYTES))
+    pinned = df.repartition(int(k), *keys).cache()
     pinned.count()
     return pinned
 

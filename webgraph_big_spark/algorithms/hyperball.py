@@ -487,13 +487,19 @@ def hyperball_centralities(
             (dmass * F.lit(float(t))).alias("dd"),
             (dmass * F.lit(float(discount(t)) if discount else 0.0)).alias("dc"),
         )
+        # accumulate LAZILY: `deltas` is a cheap projection of the
+        # round's already-checkpointed state, so the running join chain
+        # costs nothing per round and is truncated every 4 rounds — the
+        # old per-round full-join + localCheckpoint was one extra O(n)
+        # job every round.  The left-associative (acc + delta_t) float
+        # order the SQL oracle mirrors is preserved exactly.
         if acc[0] is None:
             acc[0] = deltas.select(
                 "id",
                 F.col("dh").alias("harmonic"),
                 F.col("dd").alias("sumdist"),
                 F.col("dc").alias("discounted"),
-            ).localCheckpoint(eager=True)
+            )
         else:
             acc[0] = (
                 acc[0]
@@ -504,8 +510,9 @@ def hyperball_centralities(
                     (F.coalesce("sumdist", F.lit(0.0)) + F.coalesce("dd", F.lit(0.0))).alias("sumdist"),
                     (F.coalesce("discounted", F.lit(0.0)) + F.coalesce("dc", F.lit(0.0))).alias("discounted"),
                 )
-                .localCheckpoint(eager=True)
             )
+        if t % 4 == 0:
+            acc[0] = acc[0].localCheckpoint(eager=True)
         return n_changed
 
     state, _ = _hyperball_loop(gt, t_max, on_round, log2m)

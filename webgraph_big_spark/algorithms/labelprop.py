@@ -15,15 +15,15 @@ Synchronous rounds + total-order tie-break make runs reproducible across
 partitionings/cluster sizes (SURVEY.md §7 hard part 5).
 
 Per round: one join (labels → edges) + one count aggregation + one
-window argmax partitioned by node.  The window runs over the (node,
-label, cnt) table, which is ≤ one row per distinct (node, neighbour
-label) — much smaller than the edge table after the count.
+argmax aggregation (max of a (cnt, -label) struct — partial-aggregated,
+no window sort).  The argmax runs over the (node, label, cnt) table,
+which is ≤ one row per distinct (node, neighbour label) — much smaller
+than the edge table after the count.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from webgraph_big_spark.checkpoint import IterativeRunner
 from webgraph_big_spark.graph import Graph, co_partitioned
@@ -55,7 +55,21 @@ def label_propagation(
             )
         return nodes.select("id", F.col("id").alias("label"))
 
-    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+    # every node WITH a neighbour receives ≥1 vote every round, so the
+    # per-round "keep my label" fallback only ever fires for the STATIC
+    # set of isolated nodes, whose label never changes from its initial
+    # value — precompute those rows once and make each round
+    # (winners ∪ isolated), dropping the n-row left join from the loop
+    # (the same static-split idea as pagerank's no-inflow set)
+    isolated = (
+        initial()
+        .join(
+            gs.edges.select(F.col("dst").alias("id")).distinct(),
+            "id",
+            "left_anti",
+        )
+        .localCheckpoint(eager=True)
+    )
 
     def step(labels: DataFrame, it: int):
         # shuffle_hash on the stats-less state side — without it each
@@ -68,14 +82,17 @@ def label_propagation(
             .groupBy(F.col("dst").alias("id"), "label")
             .agg(F.count("*").alias("cnt"))
         )
+        # argmax by (cnt desc, label asc) as ONE aggregation: max of the
+        # (cnt, -label) struct, decoded back — replaces the window sort
+        # (exchange + per-partition sort + row_number + filter) with a
+        # partially-aggregated groupBy; integer semantics, so the winner
+        # is identical to the row_number formulation
         winner = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("id", F.col("label").alias("new_label"))
+            votes.groupBy("id")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))).alias("_w"))
+            .select("id", (-F.col("_w._nl")).alias("label"))
         )
-        new_labels = labels.join(winner, "id", "left").select(
-            "id", F.coalesce("new_label", "label").alias("label")
-        )
+        new_labels = winner.unionByName(isolated)
         if not until_stable:
             return new_labels, (None if it + 1 < rounds else 0)
         return new_labels, None

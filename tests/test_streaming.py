@@ -227,3 +227,62 @@ def test_windowed_counts_drop_late_data(spark, tmp_path):
     # the late (00:03) b1 arc was dropped: window 00:00 stayed at 2 and
     # the total on-time mass is 5 (the 03:00 probe window never closes)
     assert sum(counts.values()) == 5
+
+
+def test_legacy_manifest_adoption_guard(spark, tmp_path):
+    """A pre-lineage manifest (no checkpoint_id) is auto-adopted only
+    when EMPTY (last_batch_id == -1); one that already applied batches
+    must fail loudly — silently keeping last_batch_id under a fresh
+    checkpoint (whose batch ids restart at 0) would make the replay
+    guard drop the first legitimate batches (round-5 ADVICE)."""
+    import json
+    import pytest
+
+    state = str(tmp_path / "state7")
+    ck = os.path.abspath(str(tmp_path / "ck"))
+    b0 = spark.createDataFrame([(0, 1)], "src long, dst long")
+    st._merge_degree_batch(b0, 0, state, ck)
+    # strip the lineage field, simulating a legacy table WITH batches
+    mpath = os.path.join(state, "_CURRENT")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    del m["checkpoint_id"]
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    b1 = spark.createDataFrame([(0, 2)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="rebind_state_checkpoint"):
+        st._merge_degree_batch(b1, 0, state, ck)
+    # an EMPTY legacy manifest adopts silently
+    state2 = str(tmp_path / "state8")
+    os.makedirs(state2)
+    with open(os.path.join(state2, "_CURRENT"), "w") as fh:
+        json.dump({"version": -1, "last_batch_id": -1, "n_buckets": 2,
+                   "buckets": {}}, fh)
+    st._merge_degree_batch(b1, 0, state2, ck)
+    got = {r["id"]: (r["outdeg"], r["indeg"])
+           for r in st.read_degree_state(spark, state2).collect()}
+    assert got == {0: (1, 0), 2: (0, 1)}
+
+
+def test_version_gc_sweeps_crashed_writer_orphans(spark, tmp_path):
+    """A version dir ABOVE the manifest version (writer crashed after
+    writing v{N} but before the manifest flip) is reclaimed once the
+    grace period lapses — previously such orphans leaked forever
+    (round-5 ADVICE)."""
+    import time
+
+    state = str(tmp_path / "state9")
+    ck = os.path.abspath(str(tmp_path / "ck"))
+    b = spark.createDataFrame([(0, 1)], "src long, dst long")
+    st._merge_degree_batch(b, 0, state, ck, n_buckets=1)  # commits v0
+    orphan = os.path.join(state, "v7")  # crashed writer's uncommitted dir
+    os.makedirs(orphan)
+    manifest = st._read_manifest(state)
+    # inside the grace window: protected
+    st._gc_versions(state, manifest)
+    assert os.path.isdir(orphan)
+    old = time.time() - 2 * st.GC_GRACE_SECONDS
+    os.utime(orphan, (old, old))
+    st._gc_versions(state, manifest)
+    assert not os.path.exists(orphan)
+    assert os.path.isdir(os.path.join(state, "v0"))  # live, untouched

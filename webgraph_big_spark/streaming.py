@@ -161,7 +161,13 @@ def _gc_versions(
         if not (name.startswith("v") and name[1:].isdigit()):
             continue
         v = int(name[1:])
-        if v in live or v > floor:
+        # sweepable: old superseded versions below the retention floor,
+        # AND orphans ABOVE the manifest version (a writer that crashed
+        # after writing v{N} but before the manifest flip — they can
+        # never become live without a flip that would re-create them;
+        # previously they leaked forever, round-5 ADVICE).  Both still
+        # honor the grace window below.
+        if v in live or (floor < v <= manifest["version"]):
             continue
         path = os.path.join(state_dir, name)
         try:
@@ -192,12 +198,26 @@ def _merge_degree_batch(
         "checkpoint_id": checkpoint_id,
     }
     if "checkpoint_id" not in manifest:
-        # legacy table written before checkpoint lineage was recorded:
-        # adopt it under the CURRENT checkpoint, keeping last_batch_id
-        # intact so the replay guard still applies to the next delivery
-        # (refusing here would force a manual rebind that resets the
-        # guard and loses replay protection for one batch).
-        manifest["checkpoint_id"] = checkpoint_id
+        if manifest.get("last_batch_id", -1) == -1:
+            # legacy EMPTY table written before checkpoint lineage was
+            # recorded: nothing has been applied, adoption is safe
+            manifest["checkpoint_id"] = checkpoint_id
+        else:
+            # legacy table WITH applied batches: silently adopting would
+            # keep last_batch_id while the (possibly fresh) checkpoint
+            # restarts batch ids at 0 — the `batch_id <=` replay guard
+            # below would then drop the first legitimate batches.  Fail
+            # loudly and require a deliberate rebind (round-5 ADVICE).
+            raise RuntimeError(
+                f"state table {state_dir} predates checkpoint lineage "
+                f"recording and already holds batches up to "
+                f"{manifest['last_batch_id']}; refusing to adopt it under "
+                f"checkpoint {checkpoint_id!r} automatically (a fresh "
+                "checkpoint restarts batch ids at 0 and the replay guard "
+                "would silently drop legitimate batches).  Call "
+                "rebind_state_checkpoint(state_dir, checkpoint_dir) to "
+                "adopt it deliberately."
+            )
     if manifest.get("checkpoint_id") != checkpoint_id:
         # batch ids are only monotonic within one checkpoint lineage: a
         # fresh checkpoint restarts them at 0, so the <= guard below

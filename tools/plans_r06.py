@@ -60,13 +60,11 @@ def main() -> None:
     import webgraph_big_spark.algorithms.pagerank as prm
 
     n = g1.num_nodes()
-    edges_base = g1.edges.select("src", "dst").join(
-        g1.out_degrees().withColumnRenamed("id", "src"), "src"
-    )
     ranks0 = g1.nodes().select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(eager=True)
-    if hasattr(prm, "_round_plan_for_explain"):
-        sections = prm._round_plan_for_explain(g1, ranks0)
-    else:
+    if TAG == "before":
+        edges_base = g1.edges.select("src", "dst").join(
+            g1.out_degrees().withColumnRenamed("id", "src"), "src"
+        )
         rank_side = F.broadcast(ranks0.select(F.col("id").alias("src"), "rank"))
         contribs = (
             edges_base.repartition(8).join(rank_side, ["src"])
@@ -78,7 +76,29 @@ def main() -> None:
             ranks0.select("id").join(contribs, "id", "left").crossJoin(F.broadcast(tot))
             .select("id", (F.lit(0.15 / n) + F.lit(0.85) * (F.coalesce("inflow", F.lit(0.0)) + (F.lit(1.0) - F.col("_tot")) / n)).alias("rank"))
         )
-        sections = [("edge prep (setup)", edges_base), ("one iteration (new_ranks plan)", new_ranks)]
+    else:
+        # mirrors pagerank.py's current broadcast path
+        edges_base = g1.edges.select("src", "dst").join(
+            F.broadcast(g1.out_degrees().withColumnRenamed("id", "src")), "src"
+        )
+        edges_w = edges_base.localCheckpoint(eager=True)
+        no_in = (
+            g1.nodes()
+            .join(g1.edges.select(F.col("dst").alias("id")).distinct(), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        rank_side = F.broadcast(ranks0.select(F.col("id").alias("src"), "rank"))
+        contribs = (
+            edges_w.join(rank_side, ["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("inflow"))
+        )
+        tot = contribs.agg(F.coalesce(F.sum("inflow"), F.lit(0.0)).alias("_tot"))
+        btot = F.broadcast(tot)
+        expr = lambda inflow: (F.lit(0.15 / n) + F.lit(0.85) * (inflow + (F.lit(1.0) - F.col("_tot")) / n)).alias("rank")
+        new_ranks = contribs.crossJoin(btot).select("id", expr(F.col("inflow"))).unionByName(
+            no_in.crossJoin(btot).select("id", expr(F.lit(0.0))))
+    sections = [("edge prep (setup)", edges_base), ("one iteration (new_ranks plan)", new_ranks)]
     emit("pagerank10_g1", sections)
 
     # ---- wcc_star: one large_star+small_star round ----
@@ -96,8 +116,9 @@ def main() -> None:
         def large_star(rel):
             nbrs = rel.union(rel.select(F.col("v").alias("u"), F.col("u").alias("v")))
             mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-            return (nbrs.join(mins, "u").filter(F.col("v") > F.col("u"))
-                    .select(F.col("v").alias("u"), F.col("m").alias("v")).distinct())
+            out = (nbrs.join(mins, "u").filter(F.col("v") > F.col("u"))
+                   .select(F.col("v").alias("u"), F.col("m").alias("v")))
+            return out.distinct() if TAG == "before" else out
         def small_star(rel):
             nbrs = rel.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
@@ -118,24 +139,37 @@ def main() -> None:
         edges_lp.join(labels0.select(F.col("id").alias("src"), "label").hint("shuffle_hash"), "src")
         .groupBy(F.col("dst").alias("id"), "label").agg(F.count("*").alias("cnt"))
     )
-    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
-    winner = votes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).select(
-        "id", F.col("label").alias("new_label"))
-    lp_round = labels0.join(winner, "id", "left").select(
-        "id", F.coalesce("new_label", "label").alias("label"))
+    if TAG == "before":
+        w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+        winner = votes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).select(
+            "id", F.col("label").alias("new_label"))
+        lp_round = labels0.join(winner, "id", "left").select(
+            "id", F.coalesce("new_label", "label").alias("label"))
+    else:
+        isolated = labels0.join(
+            gs2.edges.select(F.col("dst").alias("id")).distinct(), "id", "left_anti")
+        winner = (votes.groupBy("id")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("_nl"))).alias("_w"))
+            .select("id", (-F.col("_w._nl")).alias("label")))
+        lp_round = winner.unionByName(isolated)
     emit("labelprop4_g2", [("edge prep (symmetrize+pin)", gs2.edges), ("one vote round", lp_round)])
     edges_lp.unpersist()
 
     # ---- bfs: edge prep + one level ----
-    gs1 = tr.symmetrize(g1)
-    edges_bfs = co_partitioned(gs1.edges.select("src", "dst"), "src")
+    if TAG == "before":
+        bfs_prep = tr.symmetrize(g1).edges.select("src", "dst")
+    else:
+        bfs_prep = g1.edges.select("src", "dst").union(
+            g1.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges_bfs = co_partitioned(bfs_prep, "src")
     frontier = g1.nodes().limit(50).select("id").localCheckpoint(eager=True)
+    anti_side = frontier.select("id") if TAG == "before" else frontier.select("id").hint("shuffle_hash")
     level = (
         edges_bfs.join(frontier.select(F.col("id").alias("src")).hint("shuffle_hash"), "src")
         .select(F.col("dst").alias("id")).distinct()
-        .join(frontier.select("id"), "id", "left_anti")
+        .join(anti_side, "id", "left_anti")
     )
-    emit("bfs_full_g1", [("edge prep (symmetrize)", gs1.edges), ("one level expansion", level)])
+    emit("bfs_full_g1", [("edge prep", bfs_prep), ("one level expansion", level)])
     edges_bfs.unpersist()
 
     # ---- hyperball: edge prep + one merge round ----
@@ -143,7 +177,9 @@ def main() -> None:
 
     c = hb._cfg(hb.LOG2M)
     state = hb._with_est(hb._init_state(g1), c).localCheckpoint(eager=True)
-    hb_prep = g1.edges.select("src", "dst").distinct()
+    hb_prep = g1.edges.select("src", "dst")
+    if TAG == "before":
+        hb_prep = hb_prep.distinct()
     edges_hb = co_partitioned(hb_prep, "dst")
     changed = state.select("id")
     msgs = (
@@ -155,8 +191,12 @@ def main() -> None:
     old_named = state.selectExpr("id", *[f"r{k} AS o{k}" for k in range(c.p)], "est AS old_est")
     chg_expr = hb._balanced_expr([f"coalesce(m{k}, 0) > o{k}" for k in range(c.p)], "OR")
     merged_exprs = [f"greatest(o{k}, coalesce(m{k}, 0)) AS r{k}" for k in range(c.p)]
-    touched = gathered.join(old_named, "id").selectExpr(
-        "id", *merged_exprs, "old_est", f"({chg_expr}) AS _chg")
+    if TAG == "before":
+        touched = gathered.join(old_named, "id").selectExpr(
+            "id", *merged_exprs, "old_est", f"({chg_expr}) AS _chg")
+    else:
+        touched = old_named.join(gathered.hint("shuffle_hash"), "id", "left").selectExpr(
+            "id", *merged_exprs, "old_est", f"({chg_expr}) AS _chg")
     touched = hb._with_est(touched, c)
     emit("hyperball_t2_g1", [("edge prep", hb_prep), ("one merge round (touched plan)", touched)])
     edges_hb.unpersist()

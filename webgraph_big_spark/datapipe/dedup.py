@@ -45,23 +45,38 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, sh): distinct hashed k-token shingles per document."""
+def shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+    distinct: bool = True,
+) -> DataFrame:
+    """(doc_id, sh): distinct hashed k-token shingles per document.
+
+    ``distinct=False`` skips the final (doc_id, sh)-dedup shuffle: the
+    grams are already ``array_distinct`` per document, so duplicates can
+    only arise from hash collisions WITHIN a document — consumers whose
+    aggregation is idempotent under duplicates (MinHash's per-doc mins)
+    pass False and save a full shuffle of the largest relation in the
+    pipeline; set-semantics consumers (Jaccard intersection counts)
+    keep the default."""
     t = tokens(F.col(text_col))
     # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty
     grams = F.when(F.size(t) >= k, F.transform(
         F.sequence(F.lit(1), F.size(t) - (k - 1)),
         lambda i: F.concat_ws(" ", F.slice(t, i, k)),
     )).otherwise(F.array().cast("array<string>"))
-    return docs.select(
+    out = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(grams)).alias("gram"),
-    ).select(id_col, stable_long_hash(F.col("gram")).alias("sh")).distinct()
+    ).select(id_col, stable_long_hash(F.col("gram")).alias("sh"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, mh0..mh{H-1}): MinHash signature over k-token shingles."""
-    sh = shingles(docs, text_col, id_col)
+    sh = shingles(docs, text_col, id_col, distinct=False)  # min is dup-proof
     aggs = [
         F.min((F.col("sh") * MH_A[j] + MH_B[j]) % MH_P).alias(f"mh{j}")
         for j in range(NUM_HASHES)

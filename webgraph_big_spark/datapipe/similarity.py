@@ -166,11 +166,15 @@ def kmeans_assign(
         "cell",
         F.round(_sq_dist(F.col("_pv"), F.col("centroid")), KM_RND).alias("_d2"),
     )
-    w = Window.partitionBy("_pid").orderBy(F.asc("_d2"), F.asc("cell"))
+    # argmin by (_d2 asc, cell asc) as ONE partially-aggregated groupBy
+    # (min of the (_d2, cell) struct) — the old per-point window cost an
+    # exchange + full sort of the |points|·k scored relation per call
+    # (and kmeans_fit calls this every Lloyd iteration); the struct min
+    # has identical tie semantics, so assignments are unchanged
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(F.col("_pid"), "cell")
+        scored.groupBy("_pid")
+        .agg(F.min(F.struct(F.col("_d2"), F.col("cell"))).alias("_w"))
+        .select(F.col("_pid"), F.col("_w.cell").alias("cell"))
     )
 
 

@@ -353,7 +353,7 @@ class Graph:
         ]
         return out.select(*cols)
 
-    def store(self, basename: str, buckets: int = 32) -> dict:
+    def store(self, basename: str, buckets: int | None = None) -> dict:
         """Persist as a compressed CSR parquet table + metadata sidecar.
 
         Analogue of ``BVGraph.store`` (``BVGraph.java:1641``) and, when
@@ -374,6 +374,13 @@ class Graph:
         per-file bytes.  Returns the meta dict.
         """
         label_cols = [c for c in self.edges.columns if c not in ("src", "dst")]
+        n, m = self.num_nodes(), self.num_arcs()
+        if buckets is None:
+            # size output files from the data, not a constant (guide §6:
+            # aim for large parquet files): ~8 B/arc of gap payload per
+            # bucket target keeps a sf0.1 graph in ONE file while a
+            # 10⁹-arc graph gets ~100+ range buckets
+            buckets = max(1, (m * 8) // TARGET_PIN_PARTITION_BYTES + 1)
         adj = self.adjacency_labelled() if label_cols else self.adjacency()
         gaps_col = F.concat(
             F.slice("dsts", 1, 1),
@@ -392,7 +399,6 @@ class Graph:
             .write.mode("overwrite")
             .parquet(adj_dir)
         )
-        n, m = self.num_nodes(), self.num_arcs()
         per_file = {}
         for root, _dirs, files in os.walk(adj_dir):
             for f in files:

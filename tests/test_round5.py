@@ -108,11 +108,14 @@ def test_sort_by_size_no_single_partition_exchange(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_legacy_manifest_without_checkpoint_id_is_adopted(spark, tmp_path):
-    """A state table written before checkpoint lineage was recorded
-    (no checkpoint_id key) continues under its original checkpoint: the
-    current id is stamped in, last_batch_id survives, and the replay
-    guard still rejects an already-applied batch."""
+def test_legacy_manifest_without_checkpoint_id_requires_rebind(spark, tmp_path):
+    """A NON-EMPTY state table written before checkpoint lineage was
+    recorded (no checkpoint_id key) must NOT be adopted silently: the
+    manifest cannot prove which checkpoint its last_batch_id belongs to,
+    and under a fresh checkpoint (batch ids restart at 0) the replay
+    guard would drop the first legitimate batches (round-5 ADVICE —
+    supersedes the round-5 behavior this test used to pin).  The
+    deliberate path is rebind_state_checkpoint."""
     import webgraph_big_spark.streaming as st
 
     state = str(tmp_path / "legacy_state")
@@ -123,8 +126,17 @@ def test_legacy_manifest_without_checkpoint_id_is_adopted(spark, tmp_path):
     manifest = st._read_manifest(state)
     del manifest["checkpoint_id"]
     st._write_manifest(state, manifest)
-    # next delivery under the SAME checkpoint adopts, applies batch 1
+    # next delivery — even from the same checkpoint path — fails loudly:
+    # the manifest cannot prove the lineage matches
     b1 = spark.createDataFrame([(0, 2)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="rebind_state_checkpoint"):
+        st._merge_degree_batch(b1, 1, state, ck, n_buckets=2)
+    # state untouched by the refused batch
+    got = {r["id"]: (r["outdeg"], r["indeg"])
+           for r in st.read_degree_state(spark, state).collect()}
+    assert got == {0: (1, 0), 1: (0, 1)}
+    # deliberate adoption, then the delivery applies
+    st.rebind_state_checkpoint(state, ck)
     st._merge_degree_batch(b1, 1, state, ck, n_buckets=2)
     manifest = st._read_manifest(state)
     assert manifest["checkpoint_id"] == ck
@@ -132,7 +144,7 @@ def test_legacy_manifest_without_checkpoint_id_is_adopted(spark, tmp_path):
     got = {r["id"]: (r["outdeg"], r["indeg"])
            for r in st.read_degree_state(spark, state).collect()}
     assert got == {0: (2, 0), 1: (0, 1), 2: (0, 1)}
-    # replay of batch 1 is still a no-op (guard kept, not reset)
+    # replay of batch 1 is a no-op under the rebound lineage
     st._merge_degree_batch(b1, 1, state, ck, n_buckets=2)
     got2 = {r["id"]: (r["outdeg"], r["indeg"])
             for r in st.read_degree_state(spark, state).collect()}

@@ -91,7 +91,7 @@ def connected_components(
 
     def check(old: DataFrame, new: DataFrame, it: int) -> int:
         return (
-            new.join(old.withColumnRenamed("comp", "prev"), "id")
+            new.join(old.withColumnRenamed("comp", "prev").hint("shuffle_hash"), "id")
             .filter(F.col("comp") != F.col("prev"))
             .count()
         )

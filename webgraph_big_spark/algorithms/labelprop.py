@@ -99,7 +99,7 @@ def label_propagation(
 
     def check(old: DataFrame, new: DataFrame, it: int) -> int:
         return (
-            new.join(old.withColumnRenamed("label", "prev"), "id")
+            new.join(old.withColumnRenamed("label", "prev").hint("shuffle_hash"), "id")
             .filter(F.col("label") != F.col("prev"))
             .count()
         )

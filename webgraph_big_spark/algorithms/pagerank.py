@@ -200,7 +200,7 @@ def pagerank(
             return None
         # L∞ delta probe over the two materialized (checkpointed) states
         delta = (
-            new.join(old.withColumnRenamed("rank", "prev"), "id")
+            new.join(old.withColumnRenamed("rank", "prev").hint("shuffle_hash"), "id")
             .agg(F.max(F.abs(F.col("rank") - F.col("prev"))))
             .first()[0]
         )

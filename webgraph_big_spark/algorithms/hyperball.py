@@ -304,6 +304,15 @@ def _hyperball_loop(g: Graph, t_max: int | None, on_round, log2m: int = LOG2M):
     # so duplicate arcs cannot change any merged register — the dedup
     # shuffle ahead of the repartition was pure setup cost (guide §2.4)
     edges = co_partitioned(g.edges.select("src", "dst"), "dst")
+    # scope whole-stage codegen OFF for the column loop only: its m-wide
+    # projections (init CASEs, m greatest's, 2m est terms) fuse into
+    # generated methods past the JIT's compilable-size limits at ANY
+    # data scale, so whole-stage here buys compile time + interpreted
+    # bytecode instead of speed (A/B at sf0.1: warm round 6.5 → 4.3 s).
+    # Expression-level codegen still applies; the packed engine (O(1)
+    # plan width) keeps whole-stage fusion.
+    prev_wsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try:
         state = _with_est(_init_state(g, log2m), c).localCheckpoint(eager=True)
         changed = state.select("id")  # round 0: everything is new
@@ -363,6 +372,7 @@ def _hyperball_loop(g: Graph, t_max: int | None, on_round, log2m: int = LOG2M):
             changed = new_changed
         return state, t
     finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_wsc)
         edges.unpersist()
 
 
@@ -472,7 +482,29 @@ def hyperball_centralities(
 
     SQL-oracle mirror: :func:`hyperball_centralities_sql` (same
     expressions, same left-to-right accumulation order).
-    """
+
+    Delegates to the packed-register engine
+    (:func:`~webgraph_big_spark.algorithms.hyperball_packed.hyperball_centralities_packed`),
+    whose output is BIT-IDENTICAL: registers evolve identically in both
+    layouts (both gated against the same oracle), per-node estimates are
+    computed by the same expression tree over the same register values
+    in the same association order, and the delta accumulation replicates
+    this column engine term for term — `tests/test_round6.py` asserts
+    exact equality.  The column implementation below
+    (`_hyperball_centralities_column`) remains the reference form the
+    SQL oracle mirrors."""
+    from webgraph_big_spark.algorithms.hyperball_packed import (
+        hyperball_centralities_packed,
+    )
+
+    return hyperball_centralities_packed(g, t_max=t_max, discount=discount, log2m=log2m)
+
+
+def _hyperball_centralities_column(
+    g: Graph, t_max: int | None = None, discount=None, log2m: int = LOG2M
+) -> DataFrame:
+    """The original column-engine centralities (the form the SQL oracle
+    mirrors expression for expression) — kept as the parity reference."""
     from webgraph_big_spark.transforms import BidirectionalGraph
 
     gt = BidirectionalGraph(g).backward

@@ -205,3 +205,144 @@ def hyperball_packed(
     while t_max is not None and len(results) <= t_max:
         results.append((len(results), results[-1][1]))
     return spark.createDataFrame(results, "t long, nf double")
+
+
+# ---------------------------------------------------------------------------
+# packed-engine centralities: bit-exact per-node estimates
+# ---------------------------------------------------------------------------
+
+
+def _node_est(state: DataFrame, log2m: int) -> DataFrame:
+    """(id, est) from sparse packed state rows, BIT-EXACT with the
+    column engine's estimate.
+
+    ``hyperball._cfg``'s m-term balanced summation tree splits at
+    midpoints, so for m = 2^log2m it decomposes into m/8 CONTIGUOUS
+    8-term subtrees — one per slot — combined by a balanced tree over
+    the slot partials.  Each state row therefore computes its own
+    8-term subtree (register k extracted in index order; ``exp(0)=1.0``
+    exactly, so an ABSENT slot's partial is the compile-time constant
+    8.0 / zero-count 8), and the per-node combine folds the ≤ m/8
+    partials in slot order through the SAME upper tree.  Identical
+    doubles in identical association order ⇒ identical estimate bits —
+    which is what lets the centralities gate (whose DuckDB oracle
+    mirrors the column engine's float expressions) run on this engine.
+    Generated code is O(m/8) per expression instead of O(m), cutting
+    the cold janino-compile cost ~an order of magnitude."""
+    import importlib
+
+    _hb = importlib.import_module("webgraph_big_spark.algorithms.hyperball")
+    c = _hb._cfg(log2m)
+    nslots = c.p // K
+    zr = _hb._balanced_sum(
+        [f"exp({-_hb._LN2} * {_field('packed', j)})" for j in range(K)]
+    )
+    kr = _hb._balanced_sum(
+        [f"(CASE WHEN {_field('packed', j)} = 0 THEN 1 ELSE 0 END)" for j in range(K)]
+    )
+    rows = state.selectExpr("id", "slot", f"({zr}) AS _zr", f"({kr}) AS _kr")
+    dense = rows.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("slot", "_zr"))).alias("_zm"),
+        F.map_from_entries(F.collect_list(F.struct("slot", "_kr"))).alias("_km"),
+    )
+    zsum = _hb._balanced_sum(
+        [
+            f"coalesce(element_at(_zm, {s}), CAST(8.0 AS DOUBLE))"
+            for s in range(nslots)
+        ]
+    )
+    zeros = _hb._balanced_sum(
+        [f"coalesce(element_at(_km, {s}), 8)" for s in range(nslots)]
+    )
+    return dense.selectExpr(
+        "id", f"({zsum}) AS _z", f"({zeros}) AS _zeros"
+    ).selectExpr("id", f"{c.est_expr} AS est")
+
+
+def hyperball_centralities_packed(
+    g: Graph, t_max: int | None = None, discount=None, log2m: int = LOG2M
+) -> DataFrame:
+    """Packed-engine implementation behind
+    :func:`webgraph_big_spark.algorithms.hyperball.hyperball_centralities`
+    — identical output BITS (see `_est_from_map_sql`; registers are
+    engine-identical per round, per-node estimates are expression-
+    identical, and the delta accumulation replicates the column engine's
+    expressions and left-associative order term for term), at O(1) plan
+    width in the merge loop instead of O(m)."""
+    from webgraph_big_spark.transforms import BidirectionalGraph
+
+    gt = BidirectionalGraph(g).backward
+    prev = [None]
+    acc = [None]
+
+    def on_round(t, state):
+        cur = _node_est(state, log2m).localCheckpoint(eager=True)
+        dmass = F.col("est") - F.col("old_est")
+        deltas = cur.join(
+            prev[0].withColumnRenamed("est", "old_est").hint("shuffle_hash"), "id"
+        ).select(
+            "id",
+            (dmass / F.lit(float(t))).alias("dh"),
+            (dmass * F.lit(float(t))).alias("dd"),
+            (dmass * F.lit(float(discount(t)) if discount else 0.0)).alias("dc"),
+        )
+        if acc[0] is None:
+            acc[0] = deltas.select(
+                "id",
+                F.col("dh").alias("harmonic"),
+                F.col("dd").alias("sumdist"),
+                F.col("dc").alias("discounted"),
+            )
+        else:
+            acc[0] = (
+                acc[0]
+                .join(deltas, "id", "full")
+                .select(
+                    "id",
+                    (F.coalesce("harmonic", F.lit(0.0)) + F.coalesce("dh", F.lit(0.0))).alias("harmonic"),
+                    (F.coalesce("sumdist", F.lit(0.0)) + F.coalesce("dd", F.lit(0.0))).alias("sumdist"),
+                    (F.coalesce("discounted", F.lit(0.0)) + F.coalesce("dc", F.lit(0.0))).alias("discounted"),
+                )
+            )
+        if t % 4 == 0:
+            acc[0] = acc[0].localCheckpoint(eager=True)
+        prev[0] = cur
+
+    prev[0] = _node_est(_packed_init(gt, log2m), log2m).localCheckpoint(eager=True)
+    _packed_loop(gt, t_max, log2m, on_round=on_round)
+    base = prev[0].select("id", F.col("est").alias("reachable"))
+    extra = [F.lit(0.0).alias("discounted")] if discount else []
+    a = acc[0]
+    if a is None:
+        return base.select(
+            "id",
+            "reachable",
+            F.lit(0.0).alias("harmonic"),
+            F.lit(0.0).alias("closeness"),
+            F.lit(0.0).alias("lin"),
+            *extra,
+        )
+    extra = (
+        [F.coalesce("discounted", F.lit(0.0)).alias("discounted")] if discount else []
+    )
+    return (
+        base.join(a, "id", "left")
+        .select(
+            "id",
+            "reachable",
+            F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+            F.when(
+                F.coalesce("sumdist", F.lit(0.0)) > 0,
+                F.lit(1.0) / F.col("sumdist"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+            F.when(
+                F.coalesce("sumdist", F.lit(0.0)) > 0,
+                F.col("reachable") * F.col("reachable") / F.col("sumdist"),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("lin"),
+            *extra,
+        )
+    )

@@ -140,9 +140,18 @@ def _peel_trivial(
     during peeling."""
     prev_cnt = edges.count()
     for _ in range(max_rounds):
-        srcs = edges.select(F.col("src").alias("id")).distinct()
-        dsts = edges.select(F.col("dst").alias("id")).distinct()
-        core = srcs.join(dsts, "id").localCheckpoint(eager=True)
+        # endpoints-with-both-degrees in ONE aggregation (flag max per
+        # id) instead of two distincts + a join — one exchange per peel
+        # round instead of three
+        core = (
+            edges.select(F.col("src").alias("id"), F.lit(1).alias("_o"), F.lit(0).alias("_i"))
+            .unionAll(edges.select(F.col("dst").alias("id"), F.lit(0).alias("_o"), F.lit(1).alias("_i")))
+            .groupBy("id")
+            .agg(F.max("_o").alias("_o"), F.max("_i").alias("_i"))
+            .filter((F.col("_o") == 1) & (F.col("_i") == 1))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
         core_side = F.broadcast(core) if broadcast_core else core
         new_edges = (
             edges.join(core_side.withColumnRenamed("id", "src"), "src", "left_semi")
@@ -158,9 +167,12 @@ def _peel_trivial(
             break
         prev_cnt = cnt
     remaining = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .join(edges.select(F.col("dst").alias("id")).distinct(), "id")
+        edges.select(F.col("src").alias("id"), F.lit(1).alias("_o"), F.lit(0).alias("_i"))
+        .unionAll(edges.select(F.col("dst").alias("id"), F.lit(0).alias("_o"), F.lit(1).alias("_i")))
+        .groupBy("id")
+        .agg(F.max("_o").alias("_o"), F.max("_i").alias("_i"))
+        .filter((F.col("_o") == 1) & (F.col("_i") == 1))
+        .select("id")
         .localCheckpoint(eager=True)
     )
     peeled = nodes.join(remaining, "id", "left_anti").localCheckpoint(eager=True)

@@ -174,6 +174,13 @@ def main() -> None:
         res["hb_log2m"] = hb_log2m
         res["hb_impl"] = hb_impl
         t0 = time.time()
+        # NB round 6: hyperball() itself now delegates to the packed
+        # engine; "--hb-impl column" selects the original column-layout
+        # NF estimator explicitly.
+        if hb_impl == "column":
+            from webgraph_big_spark.algorithms.hyperball import (
+                _hyperball_column_nf as hyperball,  # noqa: F811
+            )
         if hb_impl == "packed":
             from webgraph_big_spark.algorithms.hyperball_packed import (
                 hyperball_packed,
@@ -195,11 +202,16 @@ def main() -> None:
 
         if "--hb-truth" in sys.argv:
             truth = load_true_nf()
-            # HyperBallSlowTest.java:60-67 accepts a per-round estimate
-            # within 9·rsd of the exact NF; EstimateEffectiveDiameter-
-            # SlowTest.java:38 wants the alpha=.9 effective diameter
-            # within ±1 (it runs log2m=8).  Pad our tail with the
-            # fixpoint value — registers stopped changing.
+            # Reference protocol (HyperBallSlowTest.java:67,71): per
+            # round, error within 2·rsd in ≥9 of 10 seeded attempts.
+            # This single-attempt check deliberately LOOSENS that to a
+            # 9·rsd bound on one run (no multi-seed loop here) — a
+            # smoke bound, not the replayed protocol (round-5 ADVICE
+            # corrected an earlier comment that conflated the two).
+            # EstimateEffectiveDiameterSlowTest.java:38 wants the
+            # alpha=.9 effective diameter within ±1 (it runs log2m=8).
+            # Pad our tail with the fixpoint value — registers stopped
+            # changing.
             rsd = 1.06 / (1 << hb_log2m) ** 0.5
             padded = ests + [ests[-1]] * (len(truth) - len(ests))
             rel = [

@@ -180,6 +180,28 @@ def main() -> None:
     hb_prep = g1.edges.select("src", "dst")
     if TAG == "before":
         hb_prep = hb_prep.distinct()
+    if TAG == "after":
+        # hyperball() now runs the PACKED engine — capture its round
+        hp = importlib.import_module("webgraph_big_spark.algorithms.hyperball_packed")
+        pstate = hp._packed_init(g1, 6).localCheckpoint(eager=True)
+        pedges = co_partitioned(hb_prep, "dst")
+        pmax = [F.expr(f"max({hp._field('packed', j)})").alias(f"_f{j}") for j in range(hp.K)]
+        pmsgs = (
+            pedges.join(pstate.withColumnRenamed("id", "dst").hint("shuffle_hash"), "dst")
+            .groupBy(F.col("src").alias("id"), "slot").agg(*pmax)
+            .selectExpr("id", "slot", f"{hp._repack([f'_f{j}' for j in range(hp.K)])} AS mpacked")
+        )
+        pmerged = pstate.join(pmsgs.hint("shuffle_hash"), ["id", "slot"], "full").selectExpr(
+            "id", "slot", "coalesce(packed, CAST(0 AS BIGINT)) AS old_packed",
+            f"{hp._greatest_packed('coalesce(packed, CAST(0 AS BIGINT))', 'coalesce(mpacked, CAST(0 AS BIGINT))')} AS packed")
+        emit("hyperball_t2_g1", [
+            ("edge prep (no distinct: max-merge idempotent)", hb_prep),
+            ("one packed merge round (O(1) plan width)", pmerged),
+        ])
+        pedges.unpersist()
+        return_early = True
+    else:
+        return_early = False
     edges_hb = co_partitioned(hb_prep, "dst")
     changed = state.select("id")
     msgs = (
@@ -198,8 +220,9 @@ def main() -> None:
         touched = old_named.join(gathered.hint("shuffle_hash"), "id", "left").selectExpr(
             "id", *merged_exprs, "old_est", f"({chg_expr}) AS _chg")
     touched = hb._with_est(touched, c)
-    emit("hyperball_t2_g1", [("edge prep", hb_prep), ("one merge round (touched plan)", touched)])
-    edges_hb.unpersist()
+    if not return_early:
+        emit("hyperball_t2_g1", [("edge prep", hb_prep), ("one merge round (touched plan)", touched)])
+        edges_hb.unpersist()
 
     # ---- one-shot queries ----
     emit("triangles_g2", [("triangle_edges sum", __import__("webgraph_big_spark.algorithms.triangles", fromlist=["triangle_edges"]).triangle_edges(g2).agg(F.sum("tri")))])

@@ -449,6 +449,17 @@ def strongly_connected_components_fwbw(
             bwd.unpersist()
 
         nodes = nodes.join(assigned_ids, "id", "left_anti").localCheckpoint(eager=True)
+        done = done.localCheckpoint(eager=True)
+        if nodes.isEmpty():
+            # terminal round: every node is assigned, so the edge trim
+            # below would be a full double anti-join pass producing an
+            # EMPTY relation — skip the work and checkpoint an empty
+            # edge table (resume reads `done` and returns immediately
+            # when nodes is empty; edges are never consulted)
+            if run_dir:
+                empty_edges = spark.createDataFrame([], "src long, dst long")
+                _fwbw_checkpoint(run_dir, outer, done, nodes, empty_edges)
+            break
         edges = (
             edges.join(
                 assigned_ids.select(F.col("id").alias("src")), "src", "left_anti"
@@ -456,11 +467,8 @@ def strongly_connected_components_fwbw(
             .join(assigned_ids.select(F.col("id").alias("dst")), "dst", "left_anti")
             .localCheckpoint(eager=True)
         )
-        done = done.localCheckpoint(eager=True)
         if run_dir and ((outer + 1) % checkpoint_every == 0):
             done, nodes, edges = _fwbw_checkpoint(run_dir, outer, done, nodes, edges)
-        if nodes.isEmpty():
-            break
     return done
 
 

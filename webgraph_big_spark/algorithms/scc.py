@@ -130,19 +130,20 @@ def _peel_trivial(
     remaining_nodes, peeled_nodes).
 
     The per-round peeled set is never needed individually (every peeled
-    node gets ``comp = id``), so the loop tracks ONLY the shrinking edge
-    set — 3 jobs per round (core + edges materialize + cached count)
-    instead of the 5 the per-round gone/peeled bookkeeping used to cost
-    — and derives ``peeled = nodes − endpoints-with-both-degrees`` once
-    at the end.  ``core`` is checkpointed so the two semi joins share
-    one computation, and broadcast when the caller certifies the node
-    set fits (``broadcast_core``) — the edge table then never shuffles
-    during peeling."""
-    prev_cnt = edges.count()
+    node gets ``comp = id``), so the loop tracks ONLY the shrinking
+    ``core`` (endpoints with both degrees, ONE flag-max aggregation —
+    not two distincts + a join) and edge set.  ``core`` shrinks
+    monotonically, so an unchanged COUNT means an unchanged set — the
+    fixpoint test costs a cached count, the final round skips its
+    identity semi-join entirely, and the fixpoint core IS the remaining
+    node set (no separate end-of-loop aggregation).  ``core`` is
+    checkpointed so the two semi joins share one computation, and
+    broadcast when the caller certifies the node set fits
+    (``broadcast_core``) — the edge table then never shuffles during
+    peeling."""
+    prev_core_cnt = None
+    core = None
     for _ in range(max_rounds):
-        # endpoints-with-both-degrees in ONE aggregation (flag max per
-        # id) instead of two distincts + a join — one exchange per peel
-        # round instead of three
         core = (
             edges.select(F.col("src").alias("id"), F.lit(1).alias("_o"), F.lit(0).alias("_i"))
             .unionAll(edges.select(F.col("dst").alias("id"), F.lit(0).alias("_o"), F.lit(1).alias("_i")))
@@ -152,31 +153,21 @@ def _peel_trivial(
             .select("id")
             .localCheckpoint(eager=True)
         )
+        cnt = core.count()
+        if cnt == prev_core_cnt:
+            # core ⊆ previous core (edges only shrink): same count ⇔
+            # same set ⇔ the semi join below would be the identity
+            break
+        prev_core_cnt = cnt
         core_side = F.broadcast(core) if broadcast_core else core
-        new_edges = (
+        edges = (
             edges.join(core_side.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(core_side.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .select("src", "dst")
             .localCheckpoint(eager=True)
         )
-        cnt = new_edges.count()
-        edges = new_edges
-        if cnt == prev_cnt:
-            # arcs only ever shrink: equal count ⇔ identical arc set ⇔
-            # identical core next round — fixpoint
-            break
-        prev_cnt = cnt
-    remaining = (
-        edges.select(F.col("src").alias("id"), F.lit(1).alias("_o"), F.lit(0).alias("_i"))
-        .unionAll(edges.select(F.col("dst").alias("id"), F.lit(0).alias("_o"), F.lit(1).alias("_i")))
-        .groupBy("id")
-        .agg(F.max("_o").alias("_o"), F.max("_i").alias("_i"))
-        .filter((F.col("_o") == 1) & (F.col("_i") == 1))
-        .select("id")
-        .localCheckpoint(eager=True)
-    )
-    peeled = nodes.join(remaining, "id", "left_anti").localCheckpoint(eager=True)
-    return edges, remaining, peeled
+    peeled = nodes.join(core, "id", "left_anti").localCheckpoint(eager=True)
+    return edges, core, peeled
 
 
 def _fwbw_checkpoint(

@@ -244,9 +244,26 @@ def main() -> None:
         fwd.join(color0.select(F.col("id").alias("src"), "color").hint("shuffle_hash"), "src")
         .groupBy(F.col("dst").alias("id")).agg(F.max("color").alias("mx"))
     )
-    cround = color0.join(cmsgs, "id", "left").select(
-        "id", F.greatest("color", F.coalesce("mx", "color")).alias("color"))
-    emit("scc_fwbw_g6", [("one coloring round", cround)])
+    if TAG == "before":
+        cround = color0.join(cmsgs, "id", "left").select(
+            "id", F.greatest("color", F.coalesce("mx", "color")).alias("color"))
+        emit("scc_fwbw_g6", [("one coloring round", cround)])
+    else:
+        cround = color0.join(cmsgs.hint("shuffle_hash"), "id", "left").select(
+            "id",
+            F.greatest("color", F.coalesce("mx", "color")).alias("color"),
+            (F.coalesce("mx", "color") > F.col("color")).alias("_chg"),
+        )
+        core = (
+            g1.edges.select(F.col("src").alias("id"), F.lit(1).alias("_o"), F.lit(0).alias("_i"))
+            .unionAll(g1.edges.select(F.col("dst").alias("id"), F.lit(0).alias("_o"), F.lit(1).alias("_i")))
+            .groupBy("id").agg(F.max("_o").alias("_o"), F.max("_i").alias("_i"))
+            .filter((F.col("_o") == 1) & (F.col("_i") == 1)).select("id")
+        )
+        emit("scc_fwbw_g6", [
+            ("one coloring round (change flag fused, no second SMJ)", cround),
+            ("peel core: one flag-max aggregation (was 2 distincts + join)", core),
+        ])
     fwd.unpersist()
 
 
